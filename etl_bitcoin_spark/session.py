@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local-mode defaults mirror what we would set per-executor on a real
+cluster; the shuffle-partition count scales with cores (the north rule's
+"explicit shuffle-partition tuning" — a fixed 200 would destroy scaling
+efficiency at local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "etl_bitcoin_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to 2x cores: enough tasks for AQE to
+    coalesce down, not so many that task overhead dominates at small SF.
+    On a 1000-executor cluster the same rule of thumb (2-3x total cores)
+    applies; AQE handles the rest at runtime.
+    """
+    n = cores or default_parallelism()
+    sp = shuffle_partitions or 2 * n
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # files.maxPartitionBytes left at 128m: at 100 TB this yields
+        # ~800k scan tasks, the right granularity for 1000 executors.
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

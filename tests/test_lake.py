@@ -1,0 +1,132 @@
+"""LakeTable: atomic snapshot commits, idempotence, time travel, lineage.
+
+Mirrors the reference's sink tests (database/csv/neo4j_csv/neo4j_csv_test.go):
+commit produces exactly the expected table state; re-commit is a no-op.
+"""
+
+from pyspark.sql import functions as F
+
+from etl_bitcoin_spark.operators.merge import KEY_COLS, TRANSCRIPTS_DDL
+from etl_bitcoin_spark.tableformat import LakeTable
+from etl_bitcoin_spark.tableformat.lake import BUCKET_COL, LSN_COL
+
+
+def _mk(spark, rows, ddl=TRANSCRIPTS_DDL, ts_pos=5):
+    from datetime import datetime
+
+    rows = [
+        tuple(
+            datetime.fromisoformat(v) if i == ts_pos and isinstance(v, str) else v
+            for i, v in enumerate(r)
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(rows, f"{ddl}, {LSN_COL} long")
+
+
+def _with_bucket(lake, df):
+    m = lake.snapshot()
+    return df.withColumn(BUCKET_COL, lake.bucket_expr(m["n_buckets"], m["key_cols"]))
+
+
+def test_create_and_empty_read(spark, tmp_lake_dir):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    assert lake.read().count() == 0
+    assert lake.hwm == -1
+    assert LakeTable.exists(tmp_lake_dir)
+
+
+def test_commit_read_roundtrip_and_lineage(spark, tmp_lake_dir):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    rows = [
+        ("c1", 0, "user", "hi", None, "2024-01-01 00:00:00", 1),
+        ("c1", 1, "assistant", "hello", "search", "2024-01-01 00:00:01", 2),
+        ("c2", 0, "user", "yo", None, "2024-01-01 00:00:02", 3),
+    ]
+    df = _with_bucket(lake, _mk(spark, rows))
+    affected = [r[BUCKET_COL] for r in df.select(BUCKET_COL).distinct().collect()]
+    assert lake.commit(df, affected, "b1", (1, 3), {"events": 3})
+    got = lake.read(user_cols=True).orderBy("conv_id", "turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.text) for r in got] == [
+        ("c1", 0, "hi"),
+        ("c1", 1, "hello"),
+        ("c2", 0, "yo"),
+    ]
+    assert lake.hwm == 3
+    assert lake.lineage()["applied_ranges"] == [[1, 3]]
+    assert lake.lineage()["rows_total"] == 3
+
+
+def test_idempotent_recommit(spark, tmp_lake_dir):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    df = _with_bucket(
+        lake, _mk(spark, [("c1", 0, "user", "hi", None, "2024-01-01 00:00:00", 1)])
+    )
+    assert lake.commit(df, [0, 1, 2, 3], "b1", (1, 1))
+    assert not lake.commit(df, [0, 1, 2, 3], "b1", (1, 1))  # replay -> no-op
+    assert lake.read().count() == 1
+    assert lake.snapshot()["version"] == 2
+
+
+def test_bucket_replacement_only_touches_affected(spark, tmp_lake_dir):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    df = _with_bucket(
+        lake,
+        _mk(
+            spark,
+            [
+                ("c1", 0, "user", "a", None, "2024-01-01 00:00:00", 1),
+                ("c2", 0, "user", "b", None, "2024-01-01 00:00:01", 2),
+                ("c3", 0, "user", "c", None, "2024-01-01 00:00:02", 3),
+                ("c4", 0, "user", "d", None, "2024-01-01 00:00:03", 4),
+            ],
+        ),
+    )
+    lake.commit(df, [0, 1, 2, 3], "b1", (1, 4))
+    m1 = lake.snapshot()
+    # replace only the bucket containing c1
+    b_c1 = df.filter(F.col("conv_id") == "c1").select(BUCKET_COL).collect()[0][0]
+    upd = _with_bucket(
+        lake, _mk(spark, [("c1", 0, "user", "a2", None, "2024-01-01 00:01:00", 5)])
+    )
+    lake.commit(upd, [b_c1], "b2", (5, 5))
+    m2 = lake.snapshot()
+    for b, info in m2["buckets"].items():
+        if int(b) != b_c1:
+            assert info == m1["buckets"][b], "untouched bucket files must carry over"
+    texts = {
+        r.text for r in lake.read(user_cols=True).select("text").collect()
+    }
+    assert texts == {"a2", "b", "c", "d"}
+
+
+def test_time_travel(spark, tmp_lake_dir):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    d1 = _with_bucket(
+        lake, _mk(spark, [("c1", 0, "user", "v1", None, "2024-01-01 00:00:00", 1)])
+    )
+    lake.commit(d1, [0, 1], "b1", (1, 1))
+    v_after_b1 = lake.snapshot()["version"]
+    d2 = _with_bucket(
+        lake, _mk(spark, [("c1", 0, "user", "v2", None, "2024-01-01 00:01:00", 2)])
+    )
+    lake.commit(d2, [0, 1], "b2", (2, 2))
+    assert lake.read(user_cols=True).collect()[0].text == "v2"
+    assert lake.read(version=v_after_b1, user_cols=True).collect()[0].text == "v1"
+
+
+def test_schema_evolution_read_backfills_null(spark, tmp_lake_dir):
+    narrow_ddl = "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    lake = LakeTable.create(spark, tmp_lake_dir, narrow_ddl, KEY_COLS, 2)
+    df = _mk(
+        spark,
+        [("c1", 0, "user", "old", "2024-01-01 00:00:00", 1)],
+        ddl=narrow_ddl,
+        ts_pos=4,
+    )
+    df = _with_bucket(lake, df)
+    lake.commit(df, [0, 1], "b1", (1, 1))
+    assert lake.evolve_schema(TRANSCRIPTS_DDL, "evolve-1")
+    assert not lake.evolve_schema(TRANSCRIPTS_DDL, "evolve-1")
+    row = lake.read(user_cols=True).collect()[0]
+    assert row.tool is None and row.text == "old"

@@ -1,0 +1,217 @@
+"""CDC merge core vs the deterministic oracle replay.
+
+The analog of the reference's golden-file tests
+(database/csv/neo4j_csv/neo4j_csv_test.go:86-196): the engine's
+converged table must equal the single-threaded oracle exactly —
+per-turn text equality under stable (conv_id, turn_idx) ordering
+(BASELINE.json input_hint) plus full-row equality for good measure.
+"""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, oracle_replay
+from etl_bitcoin_spark.operators.merge import (
+    BINLOG_DDL,
+    KEY_COLS,
+    TRANSCRIPTS_DDL,
+    apply_batch,
+    lww_batch_summary,
+    reconcile_schema,
+    replay,
+)
+from etl_bitcoin_spark.tableformat import LakeTable
+
+
+def _ev(spark, rows):
+    rows = [
+        (lsn, op, c, t, role, text, tool, datetime.fromisoformat(ts))
+        for (lsn, op, c, t, role, text, tool, ts) in rows
+    ]
+    return spark.createDataFrame(rows, BINLOG_DDL)
+
+
+def _final(lake):
+    return (
+        lake.read(user_cols=True)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def _norm(df):
+    df = df.copy()
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    for c in ("role", "text", "tool"):
+        df[c] = df[c].astype(object).where(df[c].notna(), None)
+    return df.reset_index(drop=True)
+
+
+def _assert_matches_oracle(lake, events_pdf):
+    got = _norm(_final(lake))
+    want = _norm(oracle_replay(events_pdf))
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]],
+        want[["conv_id", "turn_idx", "text"]],
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------- unit: LWW
+def test_lww_summary_picks_max_ts_then_lsn(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "I", "c1", 0, "user", "a", None, "2024-01-01 00:00:05"),
+            (2, "U", "c1", 0, "user", "b", None, "2024-01-01 00:00:03"),  # older ts
+            (3, "U", "c1", 0, "user", "c", None, "2024-01-01 00:00:05"),  # tie -> lsn
+        ],
+    )
+    s = lww_batch_summary(ev).collect()
+    assert len(s) == 1 and s[0].win_text == "c" and s[0].d_lsn is None
+
+
+def test_lww_summary_delete_then_reinsert(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "I", "c1", 0, "user", "a", None, "2024-01-01 00:00:01"),
+            (2, "D", "c1", 0, None, None, None, "2024-01-01 00:00:02"),
+            (3, "I", "c1", 0, "user", "back", None, "2024-01-01 00:00:00"),
+        ],
+    )
+    s = lww_batch_summary(ev).collect()
+    assert len(s) == 1 and s[0].win_text == "back" and s[0].d_lsn == 2
+
+
+def test_lww_summary_delete_wins_when_last(spark):
+    ev = _ev(
+        spark,
+        [
+            # high-ts insert, then delete with later lsn: D kills it even
+            # though its ts is older (replay is lsn-ordered)
+            (1, "I", "c1", 0, "user", "a", None, "2024-01-01 00:10:00"),
+            (2, "D", "c1", 0, None, None, None, "2024-01-01 00:00:00"),
+        ],
+    )
+    s = lww_batch_summary(ev).collect()
+    assert len(s) == 1 and s[0].win_lsn is None and s[0].d_lsn == 2
+
+
+def test_schema_reconcile_backfills_and_orders(spark):
+    df = spark.createDataFrame(
+        [(1, "I", "c1", 0, datetime(2024, 1, 1))],
+        "lsn long, op string, conv_id string, turn_idx int, ts timestamp",
+    )
+    out = reconcile_schema(df, BINLOG_DDL)
+    assert [f.name for f in out.schema] == [
+        "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    r = out.collect()[0]
+    assert r.tool is None and r.role is None and r.lsn == 1
+
+
+# ------------------------------------------------------- end-to-end replay
+@pytest.fixture(scope="module")
+def small_binlog():
+    spec = BinlogSpec(seed=7, n_convs=30, n_events=800, n_segments=6)
+    return generate_binlog(spec)
+
+
+def test_single_batch_replay_matches_oracle(spark, tmp_lake_dir, small_binlog):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 8)
+    ev = spark.createDataFrame(
+        small_binlog.drop(columns=["seg", "evolved"]), BINLOG_DDL
+    )
+    res = replay(lake, ev, batch_lsn_width=None)
+    assert res[0]["applied"]
+    _assert_matches_oracle(lake, small_binlog)
+
+
+def test_multi_batch_replay_matches_oracle(spark, tmp_lake_dir, small_binlog):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 8)
+    ev = spark.createDataFrame(
+        small_binlog.drop(columns=["seg", "evolved"]), BINLOG_DDL
+    )
+    results = replay(lake, ev, batch_lsn_width=150)
+    assert all(r["applied"] for r in results)
+    _assert_matches_oracle(lake, small_binlog)
+    # lineage covers the full range with no gaps
+    assert lake.lineage()["applied_ranges"] == [[0, int(small_binlog["lsn"].max())]]
+
+
+def test_replay_idempotence_apply_twice(spark, tmp_lake_dir, small_binlog):
+    """Applying the same batches twice converges to the same state —
+    the analog of the reference's Committed() semantics."""
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 8)
+    ev = spark.createDataFrame(
+        small_binlog.drop(columns=["seg", "evolved"]), BINLOG_DDL
+    )
+    replay(lake, ev, batch_lsn_width=200)
+    before = _final(lake)
+    res2 = replay(lake, ev, batch_lsn_width=200)  # same batch ids -> no-ops
+    assert not any(r["applied"] for r in res2)
+    pd.testing.assert_frame_equal(before, _final(lake))
+    # different batch ids but same (already-applied) lsns -> HWM filters all
+    res3 = replay(lake, ev, batch_lsn_width=200, batch_id_prefix="again")
+    assert all(r.get("events", 0) == 0 for r in res3)
+    pd.testing.assert_frame_equal(before, _final(lake))
+
+
+def test_duplicate_lsn_within_and_across_batches(spark, tmp_lake_dir):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    b1 = _ev(
+        spark,
+        [
+            (1, "I", "c1", 0, "user", "a", None, "2024-01-01 00:00:01"),
+            (1, "I", "c1", 0, "user", "a", None, "2024-01-01 00:00:01"),  # in-batch dup
+            (2, "U", "c1", 0, "user", "b", None, "2024-01-01 00:00:02"),
+        ],
+    )
+    apply_batch(lake, b1, "b1")
+    b2 = _ev(
+        spark,
+        [
+            (2, "U", "c1", 0, "user", "b", None, "2024-01-01 00:00:02"),  # cross-batch dup
+            (3, "U", "c2", 0, "user", "x", None, "2024-01-01 00:00:03"),
+        ],
+    )
+    r = apply_batch(lake, b2, "b2")
+    assert r["events"] == 1  # the dup was filtered by HWM
+    got = _final(lake)
+    assert list(got["text"]) == ["b", "x"]
+
+
+def test_schema_evolution_mixed_batches(spark, tmp_lake_dir):
+    """v1 events (no tool column) then v2 events: reconciliation backfills
+    null; final state matches an oracle over the union."""
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    v1 = spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "hello", datetime(2024, 1, 1, 0, 0, 1))],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, ts timestamp",
+    )
+    apply_batch(lake, v1, "b1")
+    v2 = _ev(
+        spark,
+        [(2, "U", "c1", 1, "assistant", "hi", "search", "2024-01-01 00:00:02")],
+    )
+    apply_batch(lake, v2, "b2")
+    got = _final(lake)
+    assert list(got["tool"]) == [None, "search"]
+    assert list(got["text"]) == ["hello", "hi"]
+
+
+def test_hot_key_skew_correctness(spark, tmp_lake_dir):
+    """80% of events on one conv_id — correctness is unaffected (the
+    full key partitions every shuffle)."""
+    spec = BinlogSpec(seed=11, n_convs=20, n_events=600, hot_share=0.8, n_hot=1)
+    pdf = generate_binlog(spec)
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 8)
+    ev = spark.createDataFrame(pdf.drop(columns=["seg", "evolved"]), BINLOG_DDL)
+    replay(lake, ev, batch_lsn_width=100)
+    _assert_matches_oracle(lake, pdf)
