@@ -156,6 +156,12 @@ def write_segments(df: pd.DataFrame, out_dir: str) -> list[str]:
         tbl = pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False)
         p = os.path.join(out_dir, f"seg-{int(s):05d}.parquet")
         pq.write_table(tbl, p)
+        # WAL delivery contract: segment files carry strictly increasing
+        # modification times in segment order (true of any real WAL
+        # writer). Spark's FileStreamSource orders unseen files by mtime,
+        # so this pins micro-batch order deterministically.
+        epoch = 1_700_000_000 + int(s)
+        os.utime(p, (epoch, epoch))
         paths.append(p)
     return paths
 

@@ -40,7 +40,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tableformat.lake import BUCKET_COL, LSN_COL, LakeTable
+from ..tableformat.lake import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable
 
 KEY_COLS = ["conv_id", "turn_idx"]
 TRANSCRIPTS_DDL = (
@@ -106,31 +106,65 @@ def lww_batch_summary(events: DataFrame) -> DataFrame:
 
 def merge_summary_into(stored: DataFrame, summary: DataFrame) -> DataFrame:
     """Merge a batch summary into the stored state of the affected
-    buckets. Returns the new full content of those buckets (with
-    LSN_COL). Tombstone-then-LWW via union + one window — cheaper and
-    clearer than a full-outer join with case logic."""
+    buckets. Returns the new full content of those buckets (with LSN_COL
+    and DELETED_COL).
+
+    Deletes are the one order-sensitive part of LWW replay, so the lake
+    **persists tombstones**: a deleted key keeps a row with
+    ``__deleted=true`` and ``__lsn`` = the delete's lsn. A late I/U event
+    (lower lsn delivered after the delete) then loses to the tombstone —
+    without it, the key would wrongly resurrect. Resolution per key:
+
+    1. ``t`` = max tombstone lsn (stored tombstone vs batch d_lsn);
+    2. live candidates = non-deleted rows with lsn > t
+       (stored winner + batch winner);
+    3. LWW among candidates by (ts desc, lsn desc) — which is
+       replay-order-independent for I/U events;
+    4. emit the winner (if any) plus the tombstone row (kept so future
+       late events keep losing).
+
+    One union + one key-partitioned window: a single shuffle.
+    """
     tombs = summary.filter(F.col("d_lsn").isNotNull()).select(
-        *KEY_COLS, F.col("d_lsn")
-    )
-    survivors = (
-        stored.join(F.broadcast(tombs), KEY_COLS, "left")
-        .filter(F.col("d_lsn").isNull() | (F.col("d_lsn") < F.col(LSN_COL)))
-        .drop("d_lsn")
+        *KEY_COLS,
+        *[F.lit(None).cast(t).alias(c) for c, t in _value_types(stored)],
+        F.col("d_lsn").alias(LSN_COL),
+        F.lit(True).alias(DELETED_COL),
     )
     winners = summary.filter(F.col("win_lsn").isNotNull()).select(
         *KEY_COLS,
         *[F.col(f"win_{c}").alias(c) for c in VALUE_COLS],
         F.col("win_lsn").alias(LSN_COL),
+        F.lit(False).alias(DELETED_COL),
     )
-    unioned = survivors.select(*KEY_COLS, *VALUE_COLS, LSN_COL).unionByName(winners)
-    w = Window.partitionBy(*KEY_COLS).orderBy(
-        F.col("ts").desc(), F.col(LSN_COL).desc()
+    cols = [*KEY_COLS, *VALUE_COLS, LSN_COL, DELETED_COL]
+    unioned = (
+        stored.select(*cols).unionByName(tombs.select(*cols)).unionByName(
+            winners.select(*cols)
+        )
     )
-    return (
-        unioned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    w = Window.partitionBy(*KEY_COLS)
+    t = F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL))).over(w)
+    df = unioned.withColumn("__t", t)
+    live = ~F.col(DELETED_COL) & (
+        F.col(LSN_COL) > F.coalesce(F.col("__t"), F.lit(-1))
     )
+    w_rank = w.orderBy(
+        live.desc(), F.col("ts").desc(), F.col(LSN_COL).desc()
+    )
+    df = df.withColumn("__rn", F.row_number().over(w_rank))
+    keep_winner = live & (F.col("__rn") == 1)
+    keep_tomb = F.col(DELETED_COL) & (F.col(LSN_COL) == F.col("__t"))
+    # dedupe identical tombstones (stored + batch agreeing on the same t)
+    w_tomb = w.orderBy(F.col(DELETED_COL).desc(), F.col(LSN_COL).desc())
+    df = df.withColumn("__rt", F.row_number().over(w_tomb))
+    keep_tomb = keep_tomb & (F.col("__rt") == 1)
+    return df.filter(keep_winner | keep_tomb).drop("__t", "__rn", "__rt")
+
+
+def _value_types(stored: DataFrame) -> list[tuple[str, str]]:
+    by_name = {f.name: f.dataType.simpleString() for f in stored.schema}
+    return [(c, by_name[c]) for c in VALUE_COLS]
 
 
 def apply_batch(
@@ -153,9 +187,14 @@ def apply_batch(
     hwm = snap["lineage"]["hwm"]
 
     ev = reconcile_schema(events, BINLOG_DDL)
-    ev = ev.filter(F.col("lsn") > F.lit(hwm))
     if already_applied_filter is not None:
+        # Exact guard (HWM fast-path + Bloom + applied-range membership):
+        # late batches survive, true duplicates die.
         ev = already_applied_filter(ev)
+    else:
+        # Ordered-replay fast path: batches are guaranteed ordered LSN
+        # ranges, so everything at or below the HWM is a duplicate.
+        ev = ev.filter(F.col("lsn") > F.lit(hwm))
     ev = ev.dropDuplicates(["lsn"]).cache()
     try:
         rng = ev.agg(

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "bucket"
 LSN_COL = "__lsn"
+DELETED_COL = "__deleted"
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -149,20 +150,23 @@ class LakeTable:
             want = {str(b) for b in buckets}
             sel = {k: v for k, v in sel.items() if k in want}
         files = [os.path.join(self.root, f) for b in sel.values() for f in b["files"]]
-        schema = f"{m['schema_ddl']}, {LSN_COL} long"
+        schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
         if not files:
             df = self.spark.createDataFrame([], schema=schema)
         else:
             # Old data files may predate an additive schema evolution:
             # the explicit read schema backfills missing columns as null.
             df = self.spark.read.schema(schema).parquet(*files)
+        df = df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
         # BUCKET_COL is a pure function of the key columns — re-derive it
         # instead of parsing paths (robust to any directory layout).
         df = df.withColumn(
             BUCKET_COL, self.bucket_expr(m["n_buckets"], m["key_cols"])
         )
         if user_cols:
-            df = df.drop(LSN_COL, BUCKET_COL)
+            df = df.filter(~F.col(DELETED_COL)).drop(
+                LSN_COL, DELETED_COL, BUCKET_COL
+            )
         return df
 
     # --------------------------------------------------------------- commit

@@ -215,3 +215,36 @@ def test_hot_key_skew_correctness(spark, tmp_lake_dir):
     ev = spark.createDataFrame(pdf.drop(columns=["seg", "evolved"]), BINLOG_DDL)
     replay(lake, ev, batch_lsn_width=100)
     _assert_matches_oracle(lake, pdf)
+
+
+def test_tombstone_blocks_late_resurrection(spark, tmp_lake_dir):
+    """Delete applied in batch 1; a LATE update (lower lsn, any ts)
+    arriving in batch 2 must NOT resurrect the key — the persisted
+    tombstone wins. Then a genuinely newer insert (lsn > tombstone)
+    does re-create it."""
+    from etl_bitcoin_spark.state import ExactlyOnceFilter
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    b1 = _ev(
+        spark,
+        [
+            (10, "I", "c1", 0, "user", "v1", None, "2024-01-01 00:00:10"),
+            (20, "D", "c1", 0, None, None, None, "2024-01-01 00:00:20"),
+        ],
+    )
+    apply_batch(lake, b1, "b1")
+    assert lake.read(user_cols=True).count() == 0
+    # late event, lsn 15 < tombstone 20, huge ts -> must stay dead
+    late = _ev(
+        spark, [(15, "U", "c1", 0, "user", "zombie", None, "2024-01-02 00:00:00")]
+    )
+    apply_batch(lake, late, "b2",
+                already_applied_filter=ExactlyOnceFilter(lake.lineage(), None))
+    assert lake.read(user_cols=True).count() == 0, "tombstone must block lsn<d"
+    # newer insert, lsn 25 > tombstone -> resurrects
+    fresh = _ev(
+        spark, [(25, "I", "c1", 0, "user", "alive", None, "2024-01-01 00:00:25")]
+    )
+    apply_batch(lake, fresh, "b3")
+    got = lake.read(user_cols=True).collect()
+    assert len(got) == 1 and got[0].text == "alive"
