@@ -1,0 +1,303 @@
+"""CDC queries over a binlog deterministically derived from the driver's
+``events`` table — the oracle-checkable face of the merge engine.
+
+``events`` (event_id, ts, user_id, event_type, value, props) maps onto a
+change stream over transcripts: event_id ≙ lsn, a deterministic op/key/
+payload derivation shared verbatim between the Spark plan and the DuckDB
+oracle SQL. Timestamps are surfaced as epoch millis (unix_millis /
+epoch_ms agree exactly) to keep value-hash comparison engine-neutral.
+
+At scale: the binlog derivation is a pure projection (no shuffle); every
+CDC query below shuffles only on the full primary key (conv_id,
+turn_idx), so hot conversations spread across partitions by turn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.merge import lww_batch_summary
+
+# Shared derivation --------------------------------------------------------
+_BINLOG_SQL = """
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error'  THEN 'D'
+              WHEN event_type = 'signup' THEN 'I'
+              ELSE 'U' END AS op,
+         'conv_' || CAST(user_id % 100 AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INT) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS tool,
+         ts
+  FROM events
+"""
+
+
+def derived_binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("conv_"), (F.col("user_id") % 100).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("event_id") % 25).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("tool"),
+        F.col("ts"),
+    )
+
+
+def _winners(binlog: DataFrame) -> DataFrame:
+    """Converged final state via the engine's LWW summary operator."""
+    s = lww_batch_summary(binlog)
+    return s.filter(F.col("win_lsn").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.col("win_role").alias("role"),
+        F.col("win_text").alias("text"),
+        F.col("win_tool").alias("tool"),
+        F.date_format(F.col("win_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("win_lsn").alias("win_lsn"),
+    )
+
+
+_LWW_SQL = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+last_d AS (
+  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
+),
+live AS (
+  SELECT b.* FROM binlog b
+  LEFT JOIN last_d d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+  WHERE b.op <> 'D' AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM live
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, lsn AS win_lsn
+FROM ranked WHERE rn = 1
+"""
+
+
+# Queries -------------------------------------------------------------------
+def q_cdc_binlog_derive(spark, sf_dir):
+    """S4 analog (typed ingestion/derivation): the change stream itself."""
+    b = derived_binlog(spark, sf_dir)
+    return b.select(
+        "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+def q_cdc_lww_apply(spark, sf_dir):
+    """Flagship: full-replay converged state (MERGE + LWW + tombstones)."""
+    return _winners(derived_binlog(spark, sf_dir))
+
+
+def q_cdc_lww_tiebreak(spark, sf_dir):
+    """Equal-ts conflicts (ts truncated to hour) resolved by higher lsn."""
+    b = derived_binlog(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("hour", F.col("ts"))
+    )
+    return _winners(b).select("conv_id", "turn_idx", "win_lsn", "ts_str")
+
+
+def q_cdc_dedup_lsn(spark, sf_dir):
+    """T8 analog: duplicate deliveries (stream unioned with itself)
+    collapse to exactly-once counts per op."""
+    b = derived_binlog(spark, sf_dir)
+    dup = b.unionByName(b)
+    return (
+        dup.dropDuplicates(["lsn"])
+        .groupBy("op")
+        .agg(F.count("*").alias("n"), F.min("lsn").alias("min_lsn"),
+             F.max("lsn").alias("max_lsn"))
+    )
+
+
+def q_cdc_hwm_watermark(spark, sf_dir):
+    """S7 analog: O(1) resume watermark over the change stream."""
+    b = derived_binlog(spark, sf_dir)
+    return b.agg(
+        F.max("lsn").alias("hwm"),
+        F.count("*").alias("n_events"),
+        F.min(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias("first_ts_str"),
+        F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias("last_ts_str"),
+    )
+
+
+def q_cdc_hwm_filter(spark, sf_dir):
+    """Resume-from-watermark: only events above the stored HWM apply."""
+    b = derived_binlog(spark, sf_dir).filter(F.col("lsn") > 5000)
+    return b.groupBy("op").agg(
+        F.count("*").alias("n"), F.min("lsn").alias("min_lsn")
+    )
+
+
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Additive evolution: pre-evolution events lose their tool column
+    (schema v1), the union backfills null; per-phase null accounting."""
+    b = derived_binlog(spark, sf_dir)
+    v1 = b.filter(F.col("lsn") < 5000).drop("tool")
+    v2 = b.filter(F.col("lsn") >= 5000)
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.groupBy(
+        (F.col("lsn") >= 5000).alias("evolved")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("tool").isNull(), 1).otherwise(0)).alias("n_tool_null"),
+    )
+
+
+def q_cdc_lineage_metrics(spark, sf_dir):
+    """Per-logical-partition lineage: applied lsn range + row/key counts
+    (the manifest metrics, expressed as a query)."""
+    b = derived_binlog(spark, sf_dir)
+    return (
+        b.withColumn("bucket", (F.col("lsn") % 16).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.countDistinct(
+                F.concat(F.col("conv_id"), F.lit("#"),
+                         F.col("turn_idx").cast("string"))
+            ).alias("n_keys"),
+        )
+    )
+
+
+def q_cdc_delete_reinsert(spark, sf_dir):
+    """Keys deleted then re-inserted: the resurrection set (win_lsn above
+    the key's last delete)."""
+    b = derived_binlog(spark, sf_dir)
+    s = lww_batch_summary(b)
+    return s.filter(
+        F.col("d_lsn").isNotNull() & F.col("win_lsn").isNotNull()
+    ).select("conv_id", "turn_idx", "d_lsn", "win_lsn")
+
+
+def q_cdc_salted_distribution(spark, sf_dir):
+    """Hot-key salting: spread each conv_id over 8 deterministic salt
+    lanes; per-lane counts stay bounded (the skew story, verifiable)."""
+    b = derived_binlog(spark, sf_dir)
+    return (
+        b.withColumn("salt", (F.col("lsn") % 8).cast("int"))
+        .groupBy("conv_id", "salt")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES = {
+    "cdc_binlog_derive": q_cdc_binlog_derive,
+    "cdc_lww_apply": q_cdc_lww_apply,
+    "cdc_lww_tiebreak": q_cdc_lww_tiebreak,
+    "cdc_dedup_lsn": q_cdc_dedup_lsn,
+    "cdc_hwm_watermark": q_cdc_hwm_watermark,
+    "cdc_hwm_filter": q_cdc_hwm_filter,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_lineage_metrics": q_cdc_lineage_metrics,
+    "cdc_delete_reinsert": q_cdc_delete_reinsert,
+    "cdc_salted_distribution": q_cdc_salted_distribution,
+}
+
+ORACLES = {
+    "cdc_binlog_derive": f"""
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM ({_BINLOG_SQL})
+""",
+    "cdc_lww_apply": _LWW_SQL,
+    "cdc_lww_tiebreak": f"""
+WITH binlog AS (
+  SELECT lsn, op, conv_id, turn_idx, date_trunc('hour', ts) AS ts
+  FROM ({_BINLOG_SQL})
+),
+last_d AS (
+  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
+),
+live AS (
+  SELECT b.* FROM binlog b
+  LEFT JOIN last_d d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+  WHERE b.op <> 'D' AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM live
+)
+SELECT conv_id, turn_idx, lsn AS win_lsn, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM ranked WHERE rn = 1
+""",
+    "cdc_dedup_lsn": f"""
+WITH binlog AS ({_BINLOG_SQL}),
+dup AS (SELECT * FROM binlog UNION ALL SELECT * FROM binlog),
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY lsn) AS rn FROM dup
+  ) WHERE rn = 1
+)
+SELECT op, count(*) AS n, min(lsn) AS min_lsn, max(lsn) AS max_lsn
+FROM uniq GROUP BY op
+""",
+    "cdc_hwm_watermark": f"""
+SELECT max(lsn) AS hwm, count(*) AS n_events,
+       min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts_str, max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts_str
+FROM ({_BINLOG_SQL})
+""",
+    "cdc_hwm_filter": f"""
+SELECT op, count(*) AS n, min(lsn) AS min_lsn
+FROM ({_BINLOG_SQL}) WHERE lsn > 5000 GROUP BY op
+""",
+    "cdc_schema_evolution": f"""
+WITH binlog AS ({_BINLOG_SQL}),
+v1 AS (SELECT lsn, op, conv_id, turn_idx, role, text,
+              CAST(NULL AS VARCHAR) AS tool, ts
+       FROM binlog WHERE lsn < 5000),
+v2 AS (SELECT * FROM binlog WHERE lsn >= 5000),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT (lsn >= 5000) AS evolved, count(*) AS n,
+       sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS n_tool_null
+FROM merged GROUP BY 1
+""",
+    "cdc_delete_reinsert": f"""
+WITH binlog AS ({_BINLOG_SQL}),
+last_d AS (
+  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
+),
+live AS (
+  SELECT b.*, d.d_lsn FROM binlog b
+  JOIN last_d d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+  WHERE b.op <> 'D' AND b.lsn > d.d_lsn
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM live
+)
+SELECT conv_id, turn_idx, d_lsn, lsn AS win_lsn FROM ranked WHERE rn = 1
+""",
+    "cdc_salted_distribution": f"""
+SELECT conv_id, CAST(lsn % 8 AS INT) AS salt, count(*) AS n
+FROM ({_BINLOG_SQL}) GROUP BY conv_id, salt
+""",
+    "cdc_lineage_metrics": f"""
+SELECT CAST(lsn % 16 AS INT) AS bucket, count(*) AS n_events,
+       min(lsn) AS lsn_min, max(lsn) AS lsn_max,
+       count(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS n_keys
+FROM ({_BINLOG_SQL}) GROUP BY bucket
+""",
+}
