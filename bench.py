@@ -1,0 +1,165 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "cdc": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default all)
+  BENCH_EVENTS         synthetic CDC replay size (default 2_000_000)
+  BENCH_REPLAY_ONLY    "1" -> skip per-query timings (scaling runs)
+
+The CDC replay is the headline: a seeded synthetic binlog (cached in
+/tmp keyed by size+seed) applied to a fresh LakeTable in 4 ordered
+micro-batches; throughput = unique events applied / wall seconds,
+including manifest commits — end-to-end, not kernel-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_bitcoin_spark.session import default_parallelism, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
+REPLAY_ONLY = os.environ.get("BENCH_REPLAY_ONLY", "0") == "1"
+SEED = 42
+
+HEADLINE = [
+    "cdc_lww_apply",
+    "cdc_binlog_derive",
+    "cdc_dedup_lsn",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "join_customer_orders",
+    "window_topk_orders",
+]
+
+
+def _wal_dir(n_events: int) -> str:
+    """Generate (once) and cache the synthetic WAL for this size/seed."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = f"{base}/spark_graft_wal_{SEED}_{n_events}"
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, write_segments
+
+    shutil.rmtree(d, ignore_errors=True)
+    spec = BinlogSpec(
+        seed=SEED,
+        n_convs=max(1000, n_events // 200),
+        max_turns=50,
+        n_events=n_events,
+        n_segments=32,  # scan parallelism: each micro-batch spans >=8 files
+        hot_share=0.2,
+    )
+    pdf = generate_binlog(spec)
+    write_segments(pdf, d)
+    open(done, "w").write("ok")
+    return d
+
+
+def bench_replay(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.operators.merge import (
+        BINLOG_DDL, KEY_COLS, TRANSCRIPTS_DDL, replay,
+    )
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    wal = _wal_dir(N_EVENTS)
+    # lake on tmpfs: a real deployment writes to object storage whose
+    # bandwidth scales with the cluster; a single local disk would
+    # serialize the measurement instead.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    lake_dir = tempfile.mkdtemp(prefix="bench_lake_", dir=base)
+    try:
+        # fixed bucket count: identical physical layout across parallelism
+        # levels so the scaling comparison varies ONLY the core count
+        n_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
+        lake = LakeTable.create(
+            spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, n_buckets
+        )
+        binlog = spark.read.schema(BINLOG_DDL).parquet(f"{wal}/*.parquet")
+        # Warmup: JIT-compile the whole codegen path on a small slice +
+        # throwaway lake so the timed region measures steady state.
+        warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=base)
+        warm_lake = LakeTable.create(
+            spark, warm_dir, TRANSCRIPTS_DDL, KEY_COLS, n_buckets
+        )
+        replay(
+            warm_lake,
+            binlog.filter(F.col("lsn") < 50000),
+            batch_lsn_width=None,
+            batch_id_prefix="warm",
+        )
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        t0 = time.time()
+        results = replay(
+            lake, binlog, batch_lsn_width=(N_EVENTS + 3) // 4,
+            batch_id_prefix="bench",
+        )
+        wall = time.time() - t0
+        applied = sum(r.get("events", 0) for r in results)
+        return {
+            "events_applied": applied,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(applied / wall, 1),
+            "batches": len(results),
+            "final_rows": lake.lineage()["rows_total"],
+        }
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
+def main() -> None:
+    cores = default_parallelism()
+    spark = get_spark(
+        "bench",
+        cores=cores,
+        # WAL segments are ~13MB: the 128m default bin-packs them into
+        # ~5 scan tasks, starving >4 cores. 16m keeps scans wide.
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    timings: dict[str, float] = {}
+
+    if not REPLAY_ONLY:
+        from etl_bitcoin_spark.plans import all_queries
+
+        qs = all_queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cdc = bench_replay(spark)
+    timings["cdc_replay_e2e"] = cdc["wall_sec"]
+
+    out = {
+        "metric": "cdc_change_events_per_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cores": cores,
+        "cdc": cdc,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,7 +104,59 @@ def lww_batch_summary(events: DataFrame) -> DataFrame:
     )
 
 
-def merge_summary_into(stored: DataFrame, summary: DataFrame) -> DataFrame:
+def _resolve_union(unioned: DataFrame, n_buckets: int | None) -> DataFrame:
+    """Tombstone-aware LWW resolution over a union of candidate rows
+    (stored winners, stored tombstones, change events). Per key:
+    last_d = max lsn among deleted rows; winner = LWW(ts, lsn) among
+    non-deleted rows with lsn > last_d; emit winner + one tombstone row.
+    One key-partitioned window pass — a single shuffle."""
+    if n_buckets is not None:
+        # Co-partition with the bucket layout: Spark's hash partitioner
+        # IS pmod(hash(keys), N) = bucket_expr, so the window below
+        # reuses this exchange and the partitionBy-bucket write emits
+        # exactly ONE file per bucket.
+        unioned = unioned.repartition(n_buckets, *KEY_COLS)
+    w = Window.partitionBy(*KEY_COLS)
+    t = F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL))).over(w)
+    df = unioned.withColumn("__t", t)
+    live = ~F.col(DELETED_COL) & (
+        F.col(LSN_COL) > F.coalesce(F.col("__t"), F.lit(-1))
+    )
+    w_rank = w.orderBy(live.desc(), F.col("ts").desc(), F.col(LSN_COL).desc())
+    df = df.withColumn("__rn", F.row_number().over(w_rank))
+    keep_winner = live & (F.col("__rn") == 1)
+    w_tomb = w.orderBy(F.col(DELETED_COL).desc(), F.col(LSN_COL).desc())
+    df = df.withColumn("__rt", F.row_number().over(w_tomb))
+    keep_tomb = (
+        F.col(DELETED_COL)
+        & (F.col(LSN_COL) == F.col("__t"))
+        & (F.col("__rt") == 1)
+    )
+    return df.filter(keep_winner | keep_tomb).drop("__t", "__rn", "__rt")
+
+
+def merge_batch_direct(
+    stored: DataFrame, events: DataFrame, n_buckets: int | None = None
+) -> DataFrame:
+    """Fused merge: stored rows participate directly as pseudo-events
+    (tombstones as D, winners as U with their original lsn), so the
+    batch-summary window and the stored-merge window collapse into ONE
+    shuffle. Exactly the algebra of lww_batch_summary +
+    merge_summary_into, minus a stage barrier and a second pass of the
+    batch through the exchange."""
+    ev_rows = events.select(
+        *KEY_COLS,
+        *VALUE_COLS,
+        F.col("lsn").alias(LSN_COL),
+        (F.col("op") == F.lit("D")).alias(DELETED_COL),
+    )
+    st_rows = stored.select(*KEY_COLS, *VALUE_COLS, LSN_COL, DELETED_COL)
+    return _resolve_union(st_rows.unionByName(ev_rows), n_buckets)
+
+
+def merge_summary_into(
+    stored: DataFrame, summary: DataFrame, n_buckets: int | None = None
+) -> DataFrame:
     """Merge a batch summary into the stored state of the affected
     buckets. Returns the new full content of those buckets (with LSN_COL
     and DELETED_COL).
@@ -143,23 +195,7 @@ def merge_summary_into(stored: DataFrame, summary: DataFrame) -> DataFrame:
             winners.select(*cols)
         )
     )
-    w = Window.partitionBy(*KEY_COLS)
-    t = F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL))).over(w)
-    df = unioned.withColumn("__t", t)
-    live = ~F.col(DELETED_COL) & (
-        F.col(LSN_COL) > F.coalesce(F.col("__t"), F.lit(-1))
-    )
-    w_rank = w.orderBy(
-        live.desc(), F.col("ts").desc(), F.col(LSN_COL).desc()
-    )
-    df = df.withColumn("__rn", F.row_number().over(w_rank))
-    keep_winner = live & (F.col("__rn") == 1)
-    keep_tomb = F.col(DELETED_COL) & (F.col(LSN_COL) == F.col("__t"))
-    # dedupe identical tombstones (stored + batch agreeing on the same t)
-    w_tomb = w.orderBy(F.col(DELETED_COL).desc(), F.col(LSN_COL).desc())
-    df = df.withColumn("__rt", F.row_number().over(w_tomb))
-    keep_tomb = keep_tomb & (F.col("__rt") == 1)
-    return df.filter(keep_winner | keep_tomb).drop("__t", "__rn", "__rt")
+    return _resolve_union(unioned, n_buckets)
 
 
 def _value_types(stored: DataFrame) -> list[tuple[str, str]]:
@@ -172,6 +208,8 @@ def apply_batch(
     events: DataFrame,
     batch_id: str,
     already_applied_filter=None,
+    assume_all_buckets: bool = False,
+    lsn_range_hint: tuple[int, int] | None = None,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the lake table.
 
@@ -195,46 +233,70 @@ def apply_batch(
         # Ordered-replay fast path: batches are guaranteed ordered LSN
         # ranges, so everything at or below the HWM is a duplicate.
         ev = ev.filter(F.col("lsn") > F.lit(hwm))
-    ev = ev.dropDuplicates(["lsn"]).cache()
-    try:
-        rng = ev.agg(
-            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
-            F.count("*").alias("n"),
-        ).collect()[0]
-        if rng["n"] == 0:
-            lake.commit(
-                lake.read(buckets=[]).limit(0).withColumn(
-                    BUCKET_COL, F.lit(0).cast("int")),
-                [], batch_id, None, {"events": 0},
-            )
-            return {"applied": True, "events": 0}
 
-        summary = ev.transform(lww_batch_summary).withColumn(
-            BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)
-        ).cache()
-        affected = [
-            r[BUCKET_COL]
-            for r in summary.select(BUCKET_COL).distinct().collect()
-        ]
+    cached = False
+    try:
+        if lsn_range_hint is not None:
+            # Ordered-replay bulk path: the caller owns the LSN window,
+            # so the per-batch min/max/count aggregation job (a full
+            # extra pass + driver barrier) is skipped entirely. Dense
+            # windows make span == unique events; recording hwm = hi is
+            # safe because future batches are strictly above it.
+            lo, hi = lsn_range_hint
+            n = hi - lo + 1
+        else:
+            # In-batch duplicate lsns need NO dedicated shuffle: dups
+            # share the key, so the merge window picks one copy; the
+            # distinct count keeps lineage metrics honest.
+            ev = ev.cache()
+            cached = True
+            rng = ev.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
+                F.countDistinct("lsn").alias("n"),
+            ).collect()[0]
+            lo, hi, n = rng["lo"], rng["hi"], rng["n"]
+            if n == 0:
+                lake.commit(
+                    lake.read(buckets=[]).limit(0).withColumn(
+                        BUCKET_COL, F.lit(0).cast("int")),
+                    [], batch_id, None, {"events": 0},
+                )
+                return {"applied": True, "events": 0}
+
+        if assume_all_buckets:
+            # Bulk path: a large batch touches every bucket — skip the
+            # bucket-discovery job. Replacing an untouched bucket is
+            # still correct (its stored rows pass through the merge
+            # unchanged); it only costs rewrite volume, never
+            # correctness.
+            affected = list(range(n_buckets))
+        else:
+            affected = [
+                r["b"]
+                for r in ev.select(
+                    lake.bucket_expr(n_buckets, KEY_COLS).alias("b")
+                ).distinct().collect()
+            ]
         stored = lake.read(buckets=affected)
-        merged = merge_summary_into(stored, summary).withColumn(
+        merged = merge_batch_direct(stored, ev, n_buckets).withColumn(
             BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)
         )
         ok = lake.commit(
             merged,
             affected,
             batch_id,
-            lsn_range=(rng["lo"], rng["hi"]),
-            metrics={"events": rng["n"], "buckets_touched": len(affected)},
+            lsn_range=(lo, hi),
+            metrics={"events": n, "buckets_touched": len(affected)},
         )
         return {
             "applied": ok,
-            "events": rng["n"],
-            "lsn_range": [rng["lo"], rng["hi"]],
+            "events": n,
+            "lsn_range": [lo, hi],
             "buckets": affected,
         }
     finally:
-        ev.unpersist()
+        if cached:
+            ev.unpersist()
 
 
 def replay(
@@ -242,27 +304,41 @@ def replay(
     binlog: DataFrame,
     batch_lsn_width: int | None = None,
     batch_id_prefix: str = "replay",
+    assume_all_buckets: bool = True,
 ) -> list[dict[str, Any]]:
     """Batch replay of a whole binlog: split into ordered LSN-range
     micro-batches and apply each. ``batch_lsn_width=None`` applies the
     whole log as one batch (the fastest path for backfills — one pair of
-    shuffles total)."""
+    shuffles total). Replay batches are bulk, so the all-buckets fast
+    path is the default here (streaming keeps selective pruning)."""
     results = []
     if batch_lsn_width is None:
-        return [apply_batch(lake, binlog, f"{batch_id_prefix}-all")]
+        return [
+            apply_batch(
+                lake, binlog, f"{batch_id_prefix}-all",
+                assume_all_buckets=assume_all_buckets,
+            )
+        ]
     bounds = binlog.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     lo, hi = bounds[0], bounds[1]
     if lo is None:
         return results
-    start = lo
+    # Resume from the lake's HWM: already-applied windows are skipped
+    # outright (the analog of LastBlockNumber resume,
+    # reference database/csv/neo4j_csv/neo4j_csv.go:62-79).
+    start = max(lo, lake.hwm + 1)
     i = 0
     while start <= hi:
-        end = start + batch_lsn_width - 1
+        end = min(start + batch_lsn_width - 1, hi)
         chunk = binlog.filter(
             (F.col("lsn") >= start) & (F.col("lsn") <= end)
         )
         results.append(
-            apply_batch(lake, chunk, f"{batch_id_prefix}-{i:06d}")
+            apply_batch(
+                lake, chunk, f"{batch_id_prefix}-{i:06d}",
+                assume_all_buckets=assume_all_buckets,
+                lsn_range_hint=(start, end),
+            )
         )
         start = end + 1
         i += 1

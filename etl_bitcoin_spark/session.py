@@ -32,8 +32,13 @@ def get_spark(
     """
     n = cores or default_parallelism()
     sp = shuffle_partitions or 2 * n
+    # SPARK_GRAFT_MASTER overrides the default local[n] — used by the
+    # scaling harness to run local-cluster[N,c,mem] (separate executor
+    # JVMs, the faithful sandbox analog of "N executors -> 4N executors"
+    # in the north rule; also avoids single-JVM GC contention).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
     b = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.default.parallelism", str(n))
@@ -44,10 +49,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes left at 128m: at 100 TB this yields
         # ~800k scan tasks, the right granularity for 1000 executors.
     )
+    # Local-mode shuffle goes through spark.local.dir; a single spinning
+    # /tmp serializes all executor threads behind one disk. tmpfs keeps
+    # the shuffle path parallel — the analog of a cluster's per-node
+    # NVMe shuffle volumes. Overridable via SPARK_LOCAL_DIRS.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark_local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

@@ -198,24 +198,39 @@ class LakeTable:
             .parquet(out_dir)
         )
         # Harvest per-bucket file lists + stats from parquet footers
-        # (driver-side, no second Spark job).
+        # (driver-side, no second Spark job; footers read concurrently —
+        # serial reads cost ~2s per commit at 64 buckets).
         buckets = dict(prev["buckets"])
         for b in replaced_buckets:
             buckets.pop(str(b), None)
         rel = os.path.relpath(out_dir, self.root)
+        work = []
         for entry in os.listdir(out_dir):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             b = entry.split("=", 1)[1]
-            files, rows = [], 0
             for fn in os.listdir(os.path.join(out_dir, entry)):
                 if fn.endswith(".parquet"):
-                    fp = os.path.join(out_dir, entry, fn)
-                    rows += pq.read_metadata(fp).num_rows
-                    files.append(os.path.join(rel, entry, fn))
-            if files and rows > 0:
-                buckets[b] = {"files": files, "rows": rows}
-            elif str(b) in buckets:
+                    work.append((b, entry, fn))
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _meta(item):
+            b, entry, fn = item
+            n = pq.read_metadata(os.path.join(out_dir, entry, fn)).num_rows
+            return b, os.path.join(rel, entry, fn), n
+
+        per_bucket: dict[str, dict] = {}
+        if work:
+            with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
+                for b, relpath, n in ex.map(_meta, work):
+                    info = per_bucket.setdefault(b, {"files": [], "rows": 0})
+                    info["files"].append(relpath)
+                    info["rows"] += n
+        for b, info in per_bucket.items():
+            info["files"].sort()
+            if info["rows"] > 0:
+                buckets[b] = info
+            elif b in buckets:
                 del buckets[b]
         lineage = dict(prev["lineage"])
         if lsn_range is not None:
