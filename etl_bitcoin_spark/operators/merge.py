@@ -299,6 +299,39 @@ def apply_batch(
             ev.unpersist()
 
 
+def bootstrap(
+    lake: LakeTable,
+    base: DataFrame,
+    base_lsn: int = 0,
+    batch_id: str = "bootstrap",
+) -> dict[str, Any]:
+    """Load an initial snapshot of the transcripts table as lake state
+    (the 'existing table + incremental tail' pattern every real CDC
+    deployment starts from). All base rows get ``__lsn = base_lsn``; the
+    HWM moves to ``base_lsn`` so the tailer applies only events with
+    higher lsns — change events that predate the snapshot are duplicates
+    by construction and die at the guard."""
+    snap = lake.snapshot()
+    if batch_id in snap["applied_batch_ids"]:
+        return {"applied": False, "reason": "duplicate batch_id"}
+    n_buckets = snap["n_buckets"]
+    content = (
+        reconcile_schema(base, snap["schema_ddl"])
+        .withColumn(LSN_COL, F.lit(base_lsn).cast("long"))
+        .withColumn(DELETED_COL, F.lit(False))
+        .withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
+        .repartition(n_buckets, *KEY_COLS)
+    )
+    ok = lake.commit(
+        content,
+        list(range(n_buckets)),
+        batch_id,
+        lsn_range=(0, base_lsn),
+        metrics={"bootstrap": True},
+    )
+    return {"applied": ok, "hwm": lake.hwm}
+
+
 def replay(
     lake: LakeTable,
     binlog: DataFrame,

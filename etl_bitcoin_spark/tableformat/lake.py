@@ -275,6 +275,59 @@ class LakeTable:
         self._publish(m)
         return True
 
+    # ---------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Retire old snapshots and delete data files no retained
+        snapshot references (Iceberg-style expire + orphan GC). The
+        latest snapshot is never touched; the operation is metadata-first
+        (manifests removed only after their exclusive files are gone), so
+        a crash mid-expiry leaves a readable table and re-running
+        completes the cleanup."""
+        versions = self.versions()
+        if len(versions) <= keep_last:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        keep = set(versions[-keep_last:])
+        live_files: set[str] = set()
+        for v in keep:
+            m = self.snapshot(v)
+            for b in m["buckets"].values():
+                live_files.update(b["files"])
+        files_removed = 0
+        for v in versions:
+            if v in keep:
+                continue
+            m = self.snapshot(v)
+            for b in m["buckets"].values():
+                for f in b["files"]:
+                    if f not in live_files:
+                        p = os.path.join(self.root, f)
+                        if os.path.exists(p):
+                            os.remove(p)
+                            files_removed += 1
+            os.remove(os.path.join(self.manifest_dir, f"v{v:08d}.json"))
+        # prune now-empty commit dirs
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full):
+                for sub, _dirs, files in list(os.walk(full, topdown=False)):
+                    if not os.listdir(sub):
+                        os.rmdir(sub)
+        return {
+            "snapshots_removed": len(versions) - len(keep),
+            "files_removed": files_removed,
+        }
+
+    def compact_bucket_tombstones(self, max_tombstone_lsn: int) -> None:
+        """Placeholder for tombstone compaction policy: tombstones below
+        a retention LSN horizon can be dropped once no producer can emit
+        lsns below the horizon. Left as metadata-only documentation in
+        v1 — tombstones are one row per deleted key, negligible next to
+        data."""
+        raise NotImplementedError(
+            "tombstone compaction lands with retention policies; "
+            "tombstones are O(deleted keys) and safe to retain"
+        )
+
     # -------------------------------------------------------------- lineage
     @property
     def hwm(self) -> int:

@@ -1,0 +1,72 @@
+"""Generator properties: the adversarial knobs FIXTURES.md §2 demands
+must actually be present in the produced stream."""
+
+import numpy as np
+
+from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, oracle_replay
+
+
+def test_generator_is_deterministic():
+    a = generate_binlog(BinlogSpec(seed=9, n_events=500))
+    b = generate_binlog(BinlogSpec(seed=9, n_events=500))
+    assert a.equals(b)
+    c = generate_binlog(BinlogSpec(seed=10, n_events=500))
+    assert not a["conv_id"].equals(c["conv_id"])
+
+
+def test_duplicates_within_and_across_segments():
+    df = generate_binlog(BinlogSpec(seed=4, n_events=2000, dup_rate=0.05))
+    dup_mask = df.duplicated(subset=["lsn"], keep=False)
+    assert dup_mask.sum() > 0, "duplicate deliveries must exist"
+    dups = df[df.duplicated(subset=["lsn"], keep="first")]
+    seg_of_first = df.drop_duplicates("lsn").set_index("lsn")["seg"]
+    cross = (dups["seg"].values != seg_of_first.loc[dups["lsn"]].values).sum()
+    within = (dups["seg"].values == seg_of_first.loc[dups["lsn"]].values).sum()
+    assert cross > 0 and within > 0, "dups must occur within AND across segments"
+
+
+def test_out_of_order_within_segment_only():
+    df = generate_binlog(BinlogSpec(seed=4, n_events=2000, n_segments=8))
+    uniq = df.drop_duplicates("lsn")
+    seg_width = 250
+    # every unique lsn lives in its own segment (ooo bounded by segment)
+    assert (uniq["lsn"] // seg_width == uniq["seg"]).all()
+    # delivery order within a segment is genuinely shuffled
+    first_seg = uniq[uniq["seg"] == 0]["lsn"].to_numpy()
+    assert not np.all(np.diff(first_seg) > 0), "in-segment order must be shuffled"
+
+
+def test_schema_evolution_point_and_payload_rules():
+    spec = BinlogSpec(seed=4, n_events=1000, evolution_point=0.4)
+    df = generate_binlog(spec)
+    pre = df[df["lsn"] < 400]
+    post = df[df["lsn"] >= 400]
+    assert pre["tool"].isna().all(), "no tool values before the evolution point"
+    assert post["tool"].notna().any()
+    d = df[df["op"] == "D"]
+    assert d["text"].isna().all() and d["role"].isna().all()
+
+
+def test_hot_key_share():
+    df = generate_binlog(
+        BinlogSpec(seed=4, n_events=5000, hot_share=0.3, n_hot=1)
+    )
+    share = (df["conv_id"] == "conv_0").mean()
+    assert 0.2 < share < 0.4
+
+
+def test_ts_collisions_force_lsn_tiebreak():
+    df = generate_binlog(BinlogSpec(seed=4, n_events=3000))
+    uniq = df.drop_duplicates("lsn")
+    per_key_ts = uniq.groupby(["conv_id", "turn_idx", "ts"]).size()
+    assert (per_key_ts > 1).any(), "same-key same-ts conflicts must exist"
+
+
+def test_oracle_replay_duplicate_is_noop():
+    df = generate_binlog(BinlogSpec(seed=4, n_events=800))
+    once = oracle_replay(df)
+    twice = oracle_replay(
+        df._append(df, ignore_index=True)
+        if hasattr(df, "_append") else df
+    )
+    assert once.equals(twice)

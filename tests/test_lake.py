@@ -130,3 +130,27 @@ def test_schema_evolution_read_backfills_null(spark, tmp_lake_dir):
     assert not lake.evolve_schema(TRANSCRIPTS_DDL, "evolve-1")
     row = lake.read(user_cols=True).collect()[0]
     assert row.tool is None and row.text == "old"
+
+
+def test_expire_snapshots_gc(spark, tmp_lake_dir):
+    import os
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    for i in range(6):
+        df = _with_bucket(
+            lake,
+            _mk(spark, [("c1", 0, "user", f"v{i}", None,
+                         f"2024-01-01 00:0{i}:00", i + 1)]),
+        )
+        lake.commit(df, [0, 1], f"b{i}", (i + 1, i + 1))
+    assert len(lake.versions()) == 7
+    before = lake.read(user_cols=True).collect()
+    res = lake.expire_snapshots(keep_last=2)
+    assert res["snapshots_removed"] == 5 and res["files_removed"] > 0
+    assert len(lake.versions()) == 2
+    after = lake.read(user_cols=True).collect()
+    assert [r.text for r in after] == [r.text for r in before] == ["v5"]
+    # time travel to retained version still works
+    assert lake.read(version=lake.versions()[0]).count() >= 0
+    # expiry is idempotent
+    assert lake.expire_snapshots(keep_last=2)["snapshots_removed"] == 0

@@ -248,3 +248,35 @@ def test_tombstone_blocks_late_resurrection(spark, tmp_lake_dir):
     apply_batch(lake, fresh, "b3")
     got = lake.read(user_cols=True).collect()
     assert len(got) == 1 and got[0].text == "alive"
+
+
+def test_bootstrap_then_incremental(spark, tmp_lake_dir):
+    """Initial-snapshot load then incremental tail: pre-snapshot events
+    are duplicates by construction and must not alter state."""
+    from etl_bitcoin_spark.operators.merge import bootstrap
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    base = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "base-a", None, datetime(2024, 1, 1, 0, 0, 0)),
+            ("c2", 0, "user", "base-b", "search", datetime(2024, 1, 1, 0, 0, 1)),
+        ],
+        TRANSCRIPTS_DDL,
+    )
+    r = bootstrap(lake, base, base_lsn=100)
+    assert r["applied"] and lake.hwm == 100
+    assert lake.read(user_cols=True).count() == 2
+    # re-bootstrap is a no-op
+    assert not bootstrap(lake, base, base_lsn=100)["applied"]
+    # stale event (lsn <= base) dropped; fresh ones apply
+    ev = _ev(
+        spark,
+        [
+            (90, "U", "c1", 0, "user", "stale", None, "2024-01-02 00:00:00"),
+            (101, "U", "c1", 0, "user", "fresh", None, "2024-01-01 00:05:00"),
+            (102, "I", "c3", 0, "user", "new", None, "2024-01-01 00:06:00"),
+        ],
+    )
+    apply_batch(lake, ev, "inc-1")
+    got = {r.conv_id: r.text for r in lake.read(user_cols=True).collect()}
+    assert got == {"c1": "fresh", "c2": "base-b", "c3": "new"}
