@@ -1,0 +1,151 @@
+"""Second-wave reference-parity + OLAP-pattern queries.
+
+S4 (typed JSON ingestion), T10 (validation routing), sessionization
+(the gap-based pattern the reference's block-range batching hints at),
+and a TPC-H-Q1-shaped pricing rollup for agg parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- S4: JSON decode / typed ingestion (types/block.go:139-153) -------------
+def q_s4_json_decode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+# --- T10: validation predicates + quarantine routing (rpcclient.go:32-39) ---
+def q_t10_validation_routing(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    verdict = F.when(
+        (F.col("value") <= 0) | F.col("value").isNull(), F.lit("invalid")
+    ).when(F.col("value") > 19, F.lit("quarantine")).otherwise(F.lit("ok"))
+    return ev.withColumn("verdict", verdict).groupBy("verdict").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * 100)).cast("bigint").alias("value_cents"),
+    )
+
+
+# --- sessionization: gap > 30 min starts a new session ----------------------
+def q_sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # interval arithmetic (not epoch casts): TIMESTAMP_NTZ-safe in both
+    # engines and timezone-independent
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --- TPC-H Q1-shaped pricing rollup -----------------------------------------
+def q_agg_lineitem_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1997-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * 100)).cast("bigint").alias(
+                "price_cents"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                )
+            ).cast("bigint").alias("disc_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+QUERIES = {
+    "s4_json_decode": q_s4_json_decode,
+    "t10_validation_routing": q_t10_validation_routing,
+    "sessionize_events": q_sessionize_events,
+    "agg_lineitem_pricing": q_agg_lineitem_pricing,
+}
+
+ORACLES = {
+    "s4_json_decode": """
+SELECT event_type, count(*) AS n,
+       sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+""",
+    "t10_validation_routing": """
+SELECT CASE WHEN value <= 0 OR value IS NULL THEN 'invalid'
+            WHEN value > 19 THEN 'quarantine'
+            ELSE 'ok' END AS verdict,
+       count(*) AS n,
+       CAST(round(sum(value * 100)) AS BIGINT) AS value_cents
+FROM events GROUP BY verdict
+""",
+    "sessionize_events": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+    "agg_lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice * 100)) AS BIGINT) AS price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS disc_price_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+}

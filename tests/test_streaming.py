@@ -92,3 +92,48 @@ def test_stream_lost_checkpoint_still_exactly_once(spark, tmp_path, binlog_pdf):
     # live count must equal the oracle
     assert lake.read(user_cols=True).count() == len(_oracle(binlog_pdf))
     assert lake.snapshot()["version"] > v1  # no-op commits still recorded
+
+
+def test_stateful_conversation_progress(spark, tmp_path, binlog_pdf):
+    """applyInPandasWithState operator: per-conversation progress rows
+    accumulate across micro-batches and survive in the state store."""
+    from etl_bitcoin_spark.operators.merge import BINLOG_DDL
+    from etl_bitcoin_spark.streaming.stateful import conversation_progress
+
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    stream = (
+        spark.readStream.schema(BINLOG_DDL)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(wal)
+    )
+    q = (
+        conversation_progress(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("progress")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per conversation must equal the batch ground truth
+    got = (
+        spark.sql(
+            "SELECT conv_id, max(events) AS events, max(max_turn) AS max_turn,"
+            " max(deletes) AS deletes FROM progress GROUP BY conv_id"
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    want = (
+        binlog_pdf.groupby("conv_id")
+        .agg(events=("lsn", "size"), max_turn=("turn_idx", "max"))
+    )
+    want["deletes"] = binlog_pdf[binlog_pdf["op"] == "D"].groupby("conv_id").size()
+    want["deletes"] = want["deletes"].fillna(0).astype(int)
+    assert set(got.index) == set(want.index)
+    for conv in want.index:
+        assert got.loc[conv, "events"] == want.loc[conv, "events"]
+        assert got.loc[conv, "max_turn"] == want.loc[conv, "max_turn"]
+        assert got.loc[conv, "deletes"] == want.loc[conv, "deletes"]
