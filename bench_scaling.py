@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -112,7 +111,11 @@ def main() -> None:
     hw = hardware_probe()
     report = {"events": EVENTS, "repeats": REPEATS, "hardware_capacity": hw,
               "ladders": []}
-    for lad in LADDERS:
+    only = os.environ.get("SCALING_LADDER")  # substring filter
+    ladders = [
+        lad for lad in LADDERS if not only or only in lad["name"]
+    ]
+    for lad in ladders:
         lo = run_level(*lad["levels"][0])
         hi = run_level(*lad["levels"][1])
         speedup = hi["best_events_per_sec"] / lo["best_events_per_sec"]

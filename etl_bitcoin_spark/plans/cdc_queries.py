@@ -4,8 +4,10 @@
 ``events`` (event_id, ts, user_id, event_type, value, props) maps onto a
 change stream over transcripts: event_id ≙ lsn, a deterministic op/key/
 payload derivation shared verbatim between the Spark plan and the DuckDB
-oracle SQL. Timestamps are surfaced as epoch millis (unix_millis /
-epoch_ms agree exactly) to keep value-hash comparison engine-neutral.
+oracle SQL. Timestamps are surfaced as formatted strings
+(date_format 'yyyy-MM-dd HH:mm:ss.SSSSSS' == strftime '%Y-%m-%d
+%H:%M:%S.%f') — TIMESTAMP_NTZ-safe and independent of either engine's
+session timezone.
 
 At scale: the binlog derivation is a pure projection (no shuffle); every
 CDC query below shuffles only on the full primary key (conv_id,

@@ -82,6 +82,25 @@ def q_t4_conditional_routing(spark, sf_dir):
     )
 
 
+# --- T5: two-level nested explode (neo4j_csv.go:147-154, vout->addresses) --
+def q_t5_nested_explode(spark, sf_dir):
+    """Documents -> words -> characters-of-word: the tx -> vout ->
+    addresses double unnesting, with per-level keys preserved."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("word_idx", "word"),
+    ).filter(F.col("word_idx") < 5)
+    chars = words.select(
+        "doc_id", "word_idx",
+        F.explode(F.split(F.col("word"), "")).alias("ch"),
+    )
+    return chars.groupBy("ch").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 # --- T6: projection + synthesized keys (nodes.go:70-76, outputID) ----------
 def q_t6_synth_key_projection(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -165,6 +184,7 @@ QUERIES = {
     "s6_tail_read": q_s6_tail_read,
     "t3_explode_flatten": q_t3_explode_flatten,
     "t4_conditional_routing": q_t4_conditional_routing,
+    "t5_nested_explode": q_t5_nested_explode,
     "t6_synth_key_projection": q_t6_synth_key_projection,
     "t7_derived_reward": q_t7_derived_reward,
     "t8_dedup_set": q_t8_dedup_set,
@@ -200,6 +220,21 @@ SELECT CASE WHEN event_type = 'signup' THEN 'node' ELSE 'edge' END AS route,
        END AS edge_start,
        count(*) AS n
 FROM events GROUP BY route, edge_start
+""",
+    "t5_nested_explode": """
+WITH words AS (
+  SELECT doc_id, word_idx, word FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS word_idx
+    FROM documents)
+  WHERE word_idx < 5
+),
+chars AS (
+  SELECT doc_id, word_idx, unnest(string_split(word, '')) AS ch FROM words
+)
+SELECT ch, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM chars GROUP BY ch
 """,
     "t6_synth_key_projection": """
 SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
