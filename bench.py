@@ -125,7 +125,16 @@ def bench_replay(spark) -> dict:
 
 
 def main() -> None:
-    cores = default_parallelism()
+    # Measured on this host: single-JVM local[] throughput peaks at ~8
+    # threads and REGRESSES beyond (GC/alloc contention; local[32] is 3x
+    # slower than local[8] — see BENCH/BASELINE.md). Cap the worker
+    # threads at the knee; the requested count is still reported.
+    requested = default_parallelism()
+    if "SPARK_GRAFT_MASTER" in os.environ:
+        # scaling harness owns the deployment shape — don't second-guess
+        cores = requested
+    else:
+        cores = min(requested, int(os.environ.get("BENCH_MAX_THREADS", "8")))
     spark = get_spark(
         "bench",
         cores=cores,
@@ -155,6 +164,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cores": cores,
+        "cores_requested": requested,
         "cdc": cdc,
     }
     spark.stop()
