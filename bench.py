@@ -124,6 +124,43 @@ def bench_replay(spark) -> dict:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
 
+def bench_stream_tail(spark) -> dict:
+    """Sustained streaming path: Structured Streaming tailer over the
+    same WAL (availableNow drain, 8 files/trigger), full exactly-once
+    guards + Bloom state. Slower than bulk replay by design (selective
+    bucket pruning + guard passes per micro-batch) — this is the
+    steady-state ingest number, replay is the backfill number."""
+    from etl_bitcoin_spark.streaming import BinlogTailer
+    from etl_bitcoin_spark.operators.merge import KEY_COLS, TRANSCRIPTS_DDL
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    n = min(N_EVENTS, 2_000_000)  # streaming bench stays bounded
+    wal = _wal_dir(n)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    lake_dir = tempfile.mkdtemp(prefix="bench_slake_", dir=base)
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir=base)
+    try:
+        lake = LakeTable.create(
+            spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS,
+            int(os.environ.get("BENCH_BUCKETS", "64")),
+        )
+        t0 = time.time()
+        results = BinlogTailer(
+            spark, wal, lake, ckpt, max_files_per_trigger=8
+        ).run_available()
+        wall = time.time() - t0
+        applied = sum(r.get("events", 0) for r in results)
+        return {
+            "events_applied": applied,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(applied / wall, 1),
+            "batches": len(results),
+        }
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     # Measured on this host: single-JVM local[] throughput peaks at ~8
     # threads and REGRESSES beyond (GC/alloc contention; local[32] is 3x
@@ -157,6 +194,11 @@ def main() -> None:
     cdc = bench_replay(spark)
     timings["cdc_replay_e2e"] = cdc["wall_sec"]
 
+    stream = None
+    if not REPLAY_ONLY:
+        stream = bench_stream_tail(spark)
+        timings["cdc_stream_tail_e2e"] = stream["wall_sec"]
+
     out = {
         "metric": "cdc_change_events_per_sec",
         "value": round(sum(timings.values()), 3),
@@ -166,6 +208,7 @@ def main() -> None:
         "cores": cores,
         "cores_requested": requested,
         "cdc": cdc,
+        "cdc_stream": stream,
     }
     spark.stop()
     print(json.dumps(out))

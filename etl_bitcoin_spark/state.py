@@ -118,6 +118,15 @@ class ExactlyOnceFilter:
         dropped — only true duplicates die here."""
         if not self.ranges:
             return ev
+        # Contiguous-history fast path: when the applied ranges are one
+        # gapless run ending at the HWM (the normal ordered-stream
+        # state), every lsn <= hwm is a definite duplicate — the whole
+        # guard reduces to the HWM filter, no Bloom pass, no range join.
+        if len(self.ranges) == 1 and self.ranges[0][1] == self.hwm:
+            lo = self.ranges[0][0]
+            return ev.filter(
+                (F.col("lsn") > F.lit(self.hwm)) | (F.col("lsn") < F.lit(lo))
+            )
         fresh = ev.filter(F.col("lsn") > F.lit(self.hwm))
         ev = ev.filter(F.col("lsn") <= F.lit(self.hwm))
         if self.bloom is not None:
