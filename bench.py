@@ -47,26 +47,41 @@ HEADLINE = [
 ]
 
 
-def _wal_dir(n_events: int) -> str:
-    """Generate (once) and cache the synthetic WAL for this size/seed."""
+def _wal_dir(n_events: int, spark=None) -> str:
+    """Generate (once) and cache the synthetic WAL for this size/seed.
+
+    Above 4M events (or with BENCH_GEN=spark) generation runs
+    distributed via the Spark-native generator — the pandas fixture
+    generator is the correctness source, not a scale tool."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    d = f"{base}/spark_graft_wal_{SEED}_{n_events}"
+    use_spark = spark is not None and (
+        n_events > 4_000_000 or os.environ.get("BENCH_GEN") == "spark"
+    )
+    d = f"{base}/spark_graft_wal_{SEED}_{n_events}" + ("_sg" if use_spark else "")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
-    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, write_segments
-
     shutil.rmtree(d, ignore_errors=True)
-    spec = BinlogSpec(
-        seed=SEED,
-        n_convs=max(1000, n_events // 200),
-        max_turns=50,
-        n_events=n_events,
-        n_segments=32,  # scan parallelism: each micro-batch spans >=8 files
-        hot_share=0.2,
-    )
-    pdf = generate_binlog(spec)
-    write_segments(pdf, d)
+    if use_spark:
+        from etl_bitcoin_spark.gen.binlog_spark import spark_binlog, write_spark_wal
+
+        df = spark_binlog(
+            spark, n_events, seed=SEED,
+            n_convs=max(1000, n_events // 200), max_turns=50, hot_share=0.2,
+        )
+        write_spark_wal(df, d, n_segments=32, n_events=n_events)
+    else:
+        from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, write_segments
+
+        spec = BinlogSpec(
+            seed=SEED,
+            n_convs=max(1000, n_events // 200),
+            max_turns=50,
+            n_events=n_events,
+            n_segments=32,  # scan parallelism: micro-batches span >=8 files
+            hot_share=0.2,
+        )
+        write_segments(generate_binlog(spec), d)
     open(done, "w").write("ok")
     return d
 
@@ -79,7 +94,7 @@ def bench_replay(spark) -> dict:
     )
     from etl_bitcoin_spark.tableformat import LakeTable
 
-    wal = _wal_dir(N_EVENTS)
+    wal = _wal_dir(N_EVENTS, spark)
     # lake on tmpfs: a real deployment writes to object storage whose
     # bandwidth scales with the cluster; a single local disk would
     # serialize the measurement instead.

@@ -70,3 +70,37 @@ def test_oracle_replay_duplicate_is_noop():
         if hasattr(df, "_append") else df
     )
     assert once.equals(twice)
+
+
+def test_spark_generator_replays_to_oracle(spark, tmp_path):
+    """The distributed generator's stream must replay (engine) to the
+    same state as the sequential oracle over the identical events."""
+    from etl_bitcoin_spark.gen.binlog_spark import spark_binlog
+    from etl_bitcoin_spark.operators.merge import (
+        KEY_COLS, TRANSCRIPTS_DDL, replay,
+    )
+    from etl_bitcoin_spark.tableformat import LakeTable
+    import pandas as pd
+
+    ev = spark_binlog(spark, 5000, seed=13, n_convs=200, max_turns=10)
+    pdf = ev.toPandas()
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8)
+    replay(lake, ev, batch_lsn_width=1500)
+    got = (
+        lake.read(user_cols=True)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas().reset_index(drop=True)
+    )
+    want = oracle_replay(pdf)[["conv_id", "turn_idx", "text"]].reset_index(drop=True)
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_spark_generator_determinism(spark):
+    from etl_bitcoin_spark.gen.binlog_spark import spark_binlog
+
+    a = spark_binlog(spark, 2000, seed=5).orderBy("lsn").toPandas()
+    b = spark_binlog(spark, 2000, seed=5).orderBy("lsn").toPandas()
+    assert a.equals(b)
