@@ -252,6 +252,23 @@ def q_dedup_simhash(spark, sf_dir):
     ).groupBy("doc_id").agg(F.sum("bitval").cast("bigint").alias("simhash"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by SimHash Hamming distance <= 3 over the planted
+    mutated corpus — the cheap pre-filter stage of a simhash dedup
+    pipeline (xor + bit_count, pure JVM)."""
+    sigs = q_dedup_simhash(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") + 1000 == F.col("doc_b"))  # planted-pair block
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+    )
+    return pairs.filter(F.col("hamming") <= 3).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
 # ----------------------------------------------- similarity: cosine top-k
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 for 10 query vectors. Queries broadcast,
@@ -392,6 +409,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "text_token_count": q_text_token_count,
@@ -467,6 +485,29 @@ SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
          AS simhash
 FROM sums GROUP BY doc_id
+""",
+    "dedup_simhash_pairs": f"""
+WITH corpus AS ({_DOCS_MUT_DUCK}),
+words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+),
+hashed AS (SELECT doc_id, {H64_DUCK.format(col="word")} AS h FROM words),
+bits AS (SELECT doc_id, h, b FROM hashed, range(0, 16) t(b)),
+sums AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id + 1000 = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
     "ann_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
