@@ -275,6 +275,46 @@ class LakeTable:
         self._publish(m)
         return True
 
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed between two snapshots (a downstream-consumable CDC
+        output, the analog of Delta's table_changes): one row per key
+        whose state differs, with ``_change_type`` in
+        {insert, update_postimage, delete}.
+
+        Cost model: only buckets whose file lists CHANGED between the two
+        manifests are read (metadata diff prunes the rest), then a full
+        outer join on the key within those buckets."""
+        m_new = self.snapshot(to_version)
+        m_old = self.snapshot(from_version)
+        changed = [
+            int(b)
+            for b in set(m_new["buckets"]) | set(m_old["buckets"])
+            if m_new["buckets"].get(b) != m_old["buckets"].get(b)
+        ]
+        key = m_new["key_cols"]
+        old = self.read(version=from_version, buckets=changed).select(
+            *key, F.col(LSN_COL).alias("__old_lsn"),
+            F.col(DELETED_COL).alias("__old_del"),
+        )
+        new = self.read(version=to_version, buckets=changed)
+        j = new.join(old, key, "full_outer")
+        was_live = F.col("__old_del").isNotNull() & ~F.col("__old_del")
+        is_live = F.col(DELETED_COL).isNotNull() & ~F.col(DELETED_COL)
+        change = (
+            F.when(~was_live.eqNullSafe(True) & is_live, F.lit("insert"))
+            .when(
+                was_live & is_live & (F.col(LSN_COL) != F.col("__old_lsn")),
+                F.lit("update_postimage"),
+            )
+            .when(was_live & ~is_live.eqNullSafe(True), F.lit("delete"))
+        )
+        user_cols = [f.split(" ")[0] for f in m_new["schema_ddl"].split(", ")]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*user_cols, "_change_type")
+        )
+
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Retire old snapshots and delete data files no retained

@@ -154,3 +154,39 @@ def test_expire_snapshots_gc(spark, tmp_lake_dir):
     assert lake.read(version=lake.versions()[0]).count() >= 0
     # expiry is idempotent
     assert lake.expire_snapshots(keep_last=2)["snapshots_removed"] == 0
+
+
+def test_read_changes_feed(spark, tmp_lake_dir):
+    """Change feed between snapshots classifies insert/update/delete."""
+    from datetime import datetime
+
+    from etl_bitcoin_spark.operators.merge import BINLOG_DDL, apply_batch
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(l, op, c, t, None if op == "D" else "user",
+              None if op == "D" else x, None, datetime(2024, 1, 1, 0, 0, s))
+             for (l, op, c, t, x, s) in rows],
+            BINLOG_DDL,
+        )
+
+    apply_batch(lake, ev([(1, "I", "a", 0, "one", 1),
+                          (2, "I", "b", 0, "two", 2),
+                          (3, "I", "c", 0, "three", 3)]), "b1")
+    v1 = lake.snapshot()["version"]
+    apply_batch(lake, ev([(4, "U", "a", 0, "one-v2", 4),
+                          (5, "D", "b", 0, None, 5),
+                          (6, "I", "d", 0, "four", 6)]), "b2")
+    changes = {
+        (r.conv_id, r._change_type): r.text
+        for r in lake.read_changes(v1).collect()
+    }
+    assert changes == {
+        ("a", "update_postimage"): "one-v2",
+        ("b", "delete"): None,
+        ("d", "insert"): "four",
+    }
+    # no-change window -> empty feed
+    assert lake.read_changes(lake.snapshot()["version"]).count() == 0
