@@ -95,7 +95,49 @@ def q_agg_lineitem_pricing(spark, sf_dir):
     )
 
 
+# --- exact percentiles ------------------------------------------------------
+def q_stats_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+# --- ROLLUP grouping sets ----------------------------------------------------
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice") * 100)).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+
+
+# --- pivot (portable conditional-aggregation form) ---------------------------
+def q_pivot_events_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                f"n_{t}"
+            )
+            for t in types
+        ]
+    )
+
+
 QUERIES = {
+    "stats_percentiles": q_stats_percentiles,
+    "rollup_orders": q_rollup_orders,
+    "pivot_events_by_type": q_pivot_events_by_type,
     "s4_json_decode": q_s4_json_decode,
     "t10_validation_routing": q_t10_validation_routing,
     "sessionize_events": q_sessionize_events,
@@ -103,6 +145,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+""",
+    "rollup_orders": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(round(sum(o_totalprice * 100)) AS BIGINT) AS cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "pivot_events_by_type": """
+SELECT user_id % 10 AS cohort,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY cohort
+""",
     "s4_json_decode": """
 SELECT event_type, count(*) AS n,
        sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
