@@ -192,11 +192,36 @@ class LakeTable:
             return False
         version = prev["version"] + 1
         out_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
+        # Per-bucket row counts ride along with the write itself via
+        # Observation metrics — no parquet-footer re-reads, no second
+        # job. (Footer fallback kicks in above 256 buckets, where 256+
+        # aggregate expressions would bloat the plan.)
+        n_buckets = prev["n_buckets"]
+        obs = None
+        if n_buckets <= 256:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_content = new_content.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(F.col(BUCKET_COL) == b, 1).otherwise(0)
+                    ).alias(f"b{b}")
+                    for b in range(n_buckets)
+                ],
+            )
         (
             new_content.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
+        obs_rows: dict[str, int] | None = None
+        if obs is not None:
+            got = obs.get
+            obs_rows = {
+                str(b): int(got[f"b{b}"] or 0) for b in range(n_buckets)
+            }
         # Harvest per-bucket file lists + stats from parquet footers
         # (driver-side, no second Spark job; footers read concurrently —
         # serial reads cost ~2s per commit at 64 buckets).
@@ -212,15 +237,21 @@ class LakeTable:
             for fn in os.listdir(os.path.join(out_dir, entry)):
                 if fn.endswith(".parquet"):
                     work.append((b, entry, fn))
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _meta(item):
-            b, entry, fn = item
-            n = pq.read_metadata(os.path.join(out_dir, entry, fn)).num_rows
-            return b, os.path.join(rel, entry, fn), n
-
         per_bucket: dict[str, dict] = {}
-        if work:
+        if obs_rows is not None:
+            for b, entry, fn in work:
+                info = per_bucket.setdefault(b, {"files": [], "rows": 0})
+                info["files"].append(os.path.join(rel, entry, fn))
+            for b, info in per_bucket.items():
+                info["rows"] = obs_rows.get(b, 0)
+        elif work:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _meta(item):
+                b, entry, fn = item
+                n = pq.read_metadata(os.path.join(out_dir, entry, fn)).num_rows
+                return b, os.path.join(rel, entry, fn), n
+
             with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
                 for b, relpath, n in ex.map(_meta, work):
                     info = per_bucket.setdefault(b, {"files": [], "rows": 0})
