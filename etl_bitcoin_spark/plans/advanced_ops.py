@@ -134,7 +134,27 @@ def q_pivot_events_by_type(spark, sf_dir):
     )
 
 
+# --- running aggregates (cumulative window frame) ----------------------------
+def q_window_running_totals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        ev.filter(F.col("user_id") < 20)
+        .withColumn("running_n", F.count("*").over(cum))
+        .withColumn(
+            "running_cents",
+            F.round(F.sum(F.col("value") * 100).over(cum)).cast("bigint"),
+        )
+        .withColumn("prev_event", F.lag("event_id").over(w))
+    )
+    return out.select(
+        "user_id", "event_id", "running_n", "running_cents", "prev_event"
+    )
+
+
 QUERIES = {
+    "window_running_totals": q_window_running_totals,
     "stats_percentiles": q_stats_percentiles,
     "rollup_orders": q_rollup_orders,
     "pivot_events_by_type": q_pivot_events_by_type,
@@ -145,6 +165,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_running_totals": """
+SELECT user_id, event_id,
+       count(*) OVER cum AS running_n,
+       CAST(round(sum(value * 100) OVER cum) AS BIGINT) AS running_cents,
+       lag(event_id) OVER w AS prev_event
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+       cum AS (PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING)
+""",
     "stats_percentiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
