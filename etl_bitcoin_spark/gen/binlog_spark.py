@@ -118,3 +118,19 @@ def write_spark_wal(
         .parquet(out_dir)
     )
     _ = width  # range partitioner picks its own bounds; width kept for docs
+    # The tailer's ordered-micro-batch invariant rests on FileStreamSource
+    # mtime ordering (see gen/binlog.py write_segments). Concurrent task
+    # writes leave arbitrary mtimes, so stamp part files with strictly
+    # increasing mtimes in lexicographic order — part-file numbering of a
+    # range partitioner IS lsn order (partition 0 = lowest range).
+    import os
+    import time
+
+    parts = sorted(
+        f for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time()
+    for i, fname in enumerate(parts):
+        t = base + i
+        os.utime(os.path.join(out_dir, fname), (t, t))

@@ -263,6 +263,29 @@ def apply_batch(
                 )
                 return {"applied": True, "events": 0}
 
+        # Density check: recording a sparse batch's (min,max) span as
+        # applied would mark the GAP lsns applied too — a later delivery
+        # of a gap lsn would then die at the guard (lost update). Dense
+        # batches (the ordered-stream norm, n == hi-lo+1) record the
+        # span; sparse ones record their exact coalesced islands.
+        sub_ranges = None
+        if lsn_range_hint is None and n != hi - lo + 1:
+            # Sparse batches are late/out-of-order re-deliveries — small
+            # by construction — so the single-partition ordering window
+            # over their DISTINCT lsns is fine (never the bulk path).
+            w_all = Window.orderBy("lsn")
+            islands = (
+                ev.select("lsn")
+                .distinct()
+                .withColumn("__grp", F.col("lsn") - F.row_number().over(w_all))
+            )
+            sub_ranges = [
+                [r["lo"], r["hi"]]
+                for r in islands.groupBy("__grp")
+                .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
+                .collect()
+            ]
+
         if assume_all_buckets:
             # Bulk path: a large batch touches every bucket — skip the
             # bucket-discovery job. Replacing an untouched bucket is
@@ -285,7 +308,8 @@ def apply_batch(
             merged,
             affected,
             batch_id,
-            lsn_range=(lo, hi),
+            lsn_range=None if sub_ranges is not None else (lo, hi),
+            lsn_ranges=sub_ranges,
             metrics={"events": n, "buckets_touched": len(affected)},
         )
         return {

@@ -191,16 +191,16 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
     "pivot_events_by_type": """
 SELECT user_id % 10 AS cohort,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY cohort
 """,
     "s4_json_decode": """
 SELECT event_type, count(*) AS n,
-       sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
+       CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
 FROM (SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events)
@@ -229,7 +229,8 @@ s AS (
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM s GROUP BY user_id
 """,
     "agg_lineitem_pricing": """

@@ -271,7 +271,8 @@ v1 AS (SELECT lsn, op, conv_id, turn_idx, role, text,
 v2 AS (SELECT * FROM binlog WHERE lsn >= 5000),
 merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
 SELECT (lsn >= 5000) AS evolved, count(*) AS n,
-       sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS n_tool_null
+       CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_null
 FROM merged GROUP BY 1
 """,
     "cdc_delete_reinsert": f"""

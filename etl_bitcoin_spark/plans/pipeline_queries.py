@@ -551,8 +551,8 @@ WITH words AS (
 ),
 agg AS (
   SELECT doc_id, count(*) AS n_tok,
-         sum(CASE WHEN w IN ({', '.join(repr(s) for s in STOPWORDS)})
-                  THEN 1 ELSE 0 END) AS n_stop,
+         CAST(sum(CASE WHEN w IN ({', '.join(repr(s) for s in STOPWORDS)})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
          min(n_chars) AS n_chars
   FROM words GROUP BY doc_id
 )

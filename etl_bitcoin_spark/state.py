@@ -46,13 +46,33 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-class LsnBloom:
-    """Plain numpy bit-array Bloom filter over int64 lsns."""
+# The Bloom is a bounded RECENT-WINDOW filter: it covers only the last
+# DEFAULT_WINDOW lsns below the HWM (the zone where crash-replay and
+# late-segment duplicates actually live). Anything older is answered by
+# the exact coalesced-range layer directly. This keeps rebuild time and
+# insert volume O(window) — at the north rule's 10^10 events an unbounded
+# Bloom would need ~80 GB of inserts and saturate any practical bit
+# array (FPR -> 1 exactly when it's needed).
+DEFAULT_WINDOW = 1 << 20
+_ADD_CHUNK = 1 << 18
 
-    def __init__(self, n_bits: int = 1 << 23, n_hashes: int = 5):
+
+class LsnBloom:
+    """Numpy bit-array Bloom filter over the recent window of int64 lsns.
+
+    ``covered_lo`` is the lowest lsn the filter vouches for; queries
+    below it must be treated as "maybe applied" (they fall through to
+    the exact range check). Sizing: 2^23 bits / 2^20-lsn window =
+    8 bits/element, ~2% FPR at 5 hashes — and a false positive only
+    costs one pass through the exact layer, never a lost event."""
+
+    def __init__(
+        self, n_bits: int = 1 << 23, n_hashes: int = 5, covered_lo: int = 0
+    ):
         assert n_bits % 8 == 0
         self.n_bits = n_bits
         self.n_hashes = n_hashes
+        self.covered_lo = covered_lo
         self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
 
     def _positions(self, lsns: np.ndarray) -> np.ndarray:
@@ -67,14 +87,45 @@ class LsnBloom:
         if len(lsns) == 0:
             return
         pos = self._positions(np.asarray(lsns, dtype=np.int64)).ravel()
-        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if len(pos) >= 4096:
+            # Vectorized scatter: np.bitwise_or.at is an unbuffered ufunc
+            # (~3M ops/s); the dense-mask + packbits path is ~50x faster
+            # for bulk adds. bitorder='little' matches 1 << (pos & 7).
+            mask = np.zeros(self.n_bits, dtype=bool)
+            mask[pos.astype(np.int64)] = True
+            self.bits |= np.packbits(mask, bitorder="little")
+        else:
+            np.bitwise_or.at(
+                self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
 
     def might_contain_many(self, lsns: np.ndarray) -> np.ndarray:
         if len(lsns) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(np.asarray(lsns, dtype=np.int64))
+        raw = np.asarray(lsns, dtype=np.int64)
+        pos = self._positions(raw)
         hit = (self.bits[(pos >> 3).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1
-        return hit.all(axis=0).astype(bool)
+        # below the covered window the filter can't answer -> "maybe"
+        return hit.all(axis=0).astype(bool) | (raw < self.covered_lo)
+
+    # ----------------------------------------------------------- windowing
+    def advance_window(self, hwm: int, window: int = DEFAULT_WINDOW) -> None:
+        """Slide the covered window up to ``[hwm-window+1, hwm]``. Bits
+        set for lsns that fall below the new floor stay set — harmless,
+        since ``covered_lo`` routes those lsns to the exact layer."""
+        self.covered_lo = max(self.covered_lo, hwm - window + 1, 0)
+
+    def add_range(self, lo: int, hi: int) -> None:
+        """Insert ``[lo, hi] ∩ [covered_lo, ∞)`` in fixed-size chunks:
+        O(window) work and O(chunk) memory regardless of range width —
+        never materializes the whole range (a [0, 10^10] backfill range
+        would otherwise be an 80 GB driver allocation)."""
+        lo = max(int(lo), self.covered_lo)
+        hi = int(hi)
+        while lo <= hi:
+            end = min(lo + _ADD_CHUNK - 1, hi)
+            self.add_many(np.arange(lo, end + 1, dtype=np.int64))
+            lo = end + 1
 
     # ------------------------------------------------------------ persist
     def save(self, path: str) -> None:
@@ -82,23 +133,34 @@ class LsnBloom:
         np.savez_compressed(
             tmp,
             bits=self.bits,
-            meta=np.array([self.n_bits, self.n_hashes], dtype=np.int64),
+            meta=np.array(
+                [self.n_bits, self.n_hashes, self.covered_lo], dtype=np.int64
+            ),
         )
         os.rename(tmp, path)  # np.load sniffs the zip magic, any extension
 
     @classmethod
     def load(cls, path: str) -> "LsnBloom":
         z = np.load(path)
-        n_bits, n_hashes = (int(v) for v in z["meta"])
-        b = cls(n_bits=n_bits, n_hashes=n_hashes)
+        meta = [int(v) for v in z["meta"]]
+        n_bits, n_hashes = meta[0], meta[1]
+        covered_lo = meta[2] if len(meta) > 2 else 0
+        b = cls(n_bits=n_bits, n_hashes=n_hashes, covered_lo=covered_lo)
         b.bits = z["bits"]
         return b
 
     @classmethod
-    def rebuild_from_ranges(cls, ranges: list[list[int]], **kw) -> "LsnBloom":
+    def rebuild_from_ranges(
+        cls, ranges: list[list[int]], window: int = DEFAULT_WINDOW, **kw
+    ) -> "LsnBloom":
+        """Lazy rebuild from manifest lineage, bounded to the recent
+        window: O(window) time/memory even at hwm = 10^10."""
         b = cls(**kw)
-        for lo, hi in ranges:
-            b.add_many(np.arange(lo, hi + 1, dtype=np.int64))
+        if ranges:
+            hwm = max(int(hi) for _, hi in ranges)
+            b.advance_window(hwm, window)
+            for lo, hi in ranges:
+                b.add_range(lo, hi)
         return b
 
 
@@ -131,6 +193,7 @@ class ExactlyOnceFilter:
         ev = ev.filter(F.col("lsn") <= F.lit(self.hwm))
         if self.bloom is not None:
             bits, n_bits, n_hashes = self.bloom.bits, self.bloom.n_bits, self.bloom.n_hashes
+            covered_lo = self.bloom.covered_lo
 
             # Self-contained closure (numpy only, no module references):
             # survives pickling to python workers regardless of how the
@@ -140,9 +203,13 @@ class ExactlyOnceFilter:
             def maybe_applied(lsn: pd.Series) -> pd.Series:
                 import numpy as _np
 
-                x = lsn.to_numpy().astype(_np.uint64)
-                if len(x) == 0:
+                raw = lsn.to_numpy().astype(_np.int64)
+                if len(raw) == 0:
                     return pd.Series([], dtype=bool)
+                # lsns below the Bloom's covered window are unanswerable
+                # here — route them to the exact range layer ("maybe").
+                below = raw < covered_lo
+                x = raw.astype(_np.uint64)
 
                 def mix(v):
                     v = v.copy()
@@ -163,7 +230,7 @@ class ExactlyOnceFilter:
                     bits[(pos >> 3).astype(_np.int64)]
                     >> (pos & _np.uint64(7)).astype(_np.uint8)
                 ) & 1
-                return pd.Series(hit.all(axis=0).astype(bool))
+                return pd.Series(hit.all(axis=0).astype(bool) | below)
 
             # rows the Bloom definitely hasn't seen are new — keep them
             # without the exact check; Bloom "maybe" rows go to layer 3.

@@ -36,8 +36,6 @@ from ..operators.merge import BINLOG_DDL, apply_batch
 from ..state import ExactlyOnceFilter, LsnBloom
 from ..tableformat.lake import LakeTable
 
-import numpy as np
-
 
 class BinlogTailer:
     def __init__(
@@ -78,7 +76,11 @@ class BinlogTailer:
     def _save_bloom(self, bloom: LsnBloom, lsn_range) -> None:
         if bloom is None or lsn_range is None:
             return
-        bloom.add_many(np.arange(lsn_range[0], lsn_range[1] + 1, dtype=np.int64))
+        # Window the filter to the new HWM first, then chunk-add only the
+        # in-window slice — O(min(batch, window)) driver work per batch,
+        # never a full-range materialization.
+        bloom.advance_window(int(lsn_range[1]))
+        bloom.add_range(int(lsn_range[0]), int(lsn_range[1]))
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         bloom.save(self.bloom_path)
 

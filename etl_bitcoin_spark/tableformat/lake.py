@@ -56,6 +56,13 @@ BUCKET_COL = "bucket"
 LSN_COL = "__lsn"
 DELETED_COL = "__deleted"
 
+# The manifest keeps only the most recent batch ids for the idempotent
+# re-commit guard (crash-restart replays are always of a *recent* batch);
+# anything older is still rejected by the lsn applied_ranges guard. An
+# unbounded list would grow the manifest O(#micro-batches) forever —
+# millions of entries over a long-running tail.
+MAX_APPLIED_BATCH_IDS = 256
+
 
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
@@ -180,6 +187,7 @@ class LakeTable:
         batch_id: str,
         lsn_range: tuple[int, int] | None = None,
         metrics: dict[str, Any] | None = None,
+        lsn_ranges: list[list[int]] | None = None,
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -264,10 +272,19 @@ class LakeTable:
             elif b in buckets:
                 del buckets[b]
         lineage = dict(prev["lineage"])
+        # Applied-lsn bookkeeping accepts either one dense span or the
+        # exact sub-ranges of a sparse (late/out-of-order) batch —
+        # recording a sparse batch as its (min,max) span would mark the
+        # gap lsns applied and silently drop their later delivery.
+        new_ranges = [list(r) for r in (lsn_ranges or [])]
         if lsn_range is not None:
-            lineage["hwm"] = max(lineage["hwm"], lsn_range[1])
+            new_ranges.append(list(lsn_range))
+        if new_ranges:
+            lineage["hwm"] = max(
+                lineage["hwm"], max(r[1] for r in new_ranges)
+            )
             lineage["applied_ranges"] = _merge_ranges(
-                lineage["applied_ranges"] + [list(lsn_range)]
+                lineage["applied_ranges"] + new_ranges
             )
         lineage["rows_total"] = sum(b["rows"] for b in buckets.values())
         manifest = {
@@ -277,7 +294,9 @@ class LakeTable:
             "key_cols": prev["key_cols"],
             "n_buckets": prev["n_buckets"],
             "batch_id": batch_id,
-            "applied_batch_ids": prev["applied_batch_ids"] + [batch_id],
+            "applied_batch_ids": (prev["applied_batch_ids"] + [batch_id])[
+                -MAX_APPLIED_BATCH_IDS:
+            ],
             "committed_at": time.time(),
             "buckets": buckets,
             "lineage": lineage,
@@ -301,7 +320,9 @@ class LakeTable:
         m["parent"] = prev["version"]
         m["schema_ddl"] = new_ddl
         m["batch_id"] = batch_id
-        m["applied_batch_ids"] = prev["applied_batch_ids"] + [batch_id]
+        m["applied_batch_ids"] = (prev["applied_batch_ids"] + [batch_id])[
+            -MAX_APPLIED_BATCH_IDS:
+        ]
         m["committed_at"] = time.time()
         self._publish(m)
         return True
@@ -323,11 +344,31 @@ class LakeTable:
             if m_new["buckets"].get(b) != m_old["buckets"].get(b)
         ]
         key = m_new["key_cols"]
-        old = self.read(version=from_version, buckets=changed).select(
+        # Stored state intentionally keeps up to TWO rows per key after a
+        # delete-then-reinsert (retained tombstone + live winner). Collapse
+        # each side to one row per key — live winner beats tombstone,
+        # newest lsn wins — before joining, or the full-outer join fans
+        # out (winner_new x tomb_old) and emits phantom insert/delete
+        # pairs for keys that did not change.
+        from pyspark.sql import Window
+
+        def _one_per_key(df: DataFrame) -> DataFrame:
+            w = Window.partitionBy(*key).orderBy(
+                F.col(DELETED_COL).asc(), F.col(LSN_COL).desc()
+            )
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        old = _one_per_key(
+            self.read(version=from_version, buckets=changed)
+        ).select(
             *key, F.col(LSN_COL).alias("__old_lsn"),
             F.col(DELETED_COL).alias("__old_del"),
         )
-        new = self.read(version=to_version, buckets=changed)
+        new = _one_per_key(self.read(version=to_version, buckets=changed))
         j = new.join(old, key, "full_outer")
         was_live = F.col("__old_del").isNotNull() & ~F.col("__old_del")
         is_live = F.col(DELETED_COL).isNotNull() & ~F.col(DELETED_COL)

@@ -190,3 +190,45 @@ def test_read_changes_feed(spark, tmp_lake_dir):
     }
     # no-change window -> empty feed
     assert lake.read_changes(lake.snapshot()["version"]).count() == 0
+
+    # delete-then-reinsert leaves TWO stored rows for the key (retained
+    # tombstone + live winner). A later unrelated commit must not make
+    # the feed emit phantom delete/insert pairs for the resurrected key.
+    apply_batch(lake, ev([(7, "I", "b", 0, "two-v2", 7)]), "b3")
+    v3 = lake.snapshot()["version"]
+    apply_batch(lake, ev([(8, "U", "a", 0, "one-v3", 8)]), "b4")
+    changes = {
+        (r.conv_id, r._change_type): r.text
+        for r in lake.read_changes(v3).collect()
+    }
+    assert changes == {("a", "update_postimage"): "one-v3"}
+    # and the resurrect window itself reads as a plain insert
+    v2 = lake.snapshot(v3)["parent"]
+    res = {
+        (r.conv_id, r._change_type): r.text
+        for r in lake.read_changes(v2, v3).collect()
+    }
+    assert res == {("b", "insert"): "two-v2"}
+
+
+def test_applied_batch_ids_bounded(spark, tmp_lake_dir):
+    """The manifest keeps only the most recent batch ids (the lsn
+    applied_ranges carry older-duplicate defense)."""
+    from etl_bitcoin_spark.tableformat.lake import MAX_APPLIED_BATCH_IDS
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    rows = [("c1", 0, "user", "hi", None, "2024-01-01 00:00:00", 1)]
+    df = _with_bucket(lake, _mk(spark, rows))
+    for i in range(5):
+        assert lake.commit(df, [0, 1], f"b{i}", (i, i))
+    ids = lake.snapshot()["applied_batch_ids"]
+    assert ids == [f"b{i}" for i in range(5)]
+    # simulate a long tail via metadata-only commits: list stays bounded,
+    # keeping the newest ids (recent crash-replays still caught).
+    ddl = lake.snapshot()["schema_ddl"]
+    for i in range(MAX_APPLIED_BATCH_IDS + 10):
+        lake.evolve_schema(ddl, f"evo{i}")
+    ids = lake.snapshot()["applied_batch_ids"]
+    assert len(ids) == MAX_APPLIED_BATCH_IDS
+    assert ids[-1] == f"evo{MAX_APPLIED_BATCH_IDS + 9}"
+    assert "b0" not in ids
