@@ -1,0 +1,119 @@
+"""One-pass multi-table fan-out pipeline (the reference's core dataflow).
+
+The reference explodes each ingested batch into 4 node + 6 relationship
+tables inside one DBTx (reference database/csv/neo4j_csv/neo4j_csv.go:
+122-155: AddBlockHeader -> blocks/chain/coinbase rows, AddTransaction ->
+transactions/outputs/addresses + include/in/out/locked edges), committed
+together (neo4j_csv.go:103-117). This is the engine-level equivalent
+over the transcripts domain: ONE pass over a change-event batch fans
+into
+
+- ``turns``   — event-level node rows (the payload table)
+- ``convs``   — distinct conversation nodes (the in-batch dedup set,
+                reference's address set, neo4j_csv.go:97)
+- ``edges``   — conv -> turn edge list with a synthesized key
+                (reference's outputID = txid+"_"+n, nodes.go:72; NB the
+                reference's in-edge start key concatenates WITHOUT a
+                separator, relationships.go:77 — a quirk this engine
+                deliberately normalizes to the separator form, because
+                the unseparated form is ambiguous: ("a_1", 2) and
+                ("a", 12) collide)
+- ``lineage`` — per-batch metrics rows (events, ops breakdown)
+
+All four land in ONE LakeCatalog transaction: a crash between table
+writes leaves readers on the previous snapshot of every table, which the
+reference's per-file worker fan-out cannot guarantee.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tableformat.catalog import LakeCatalog
+from ..tableformat.lake import BUCKET_COL, LSN_COL
+
+TURNS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, lsn long, op string"
+)
+CONVS_DDL = "conv_id string, first_lsn long, n_events long"
+EDGES_DDL = "edge_id string, conv_id string, turn_idx int, lsn long"
+LINEAGE_DDL = (
+    "batch_id string, events long, n_insert long, n_update long, "
+    "n_delete long, lsn_lo long, lsn_hi long"
+)
+
+
+def create_fanout_tables(catalog: LakeCatalog, n_buckets: int = 8) -> None:
+    catalog.create_table("turns", TURNS_DDL, ["conv_id", "turn_idx"], n_buckets)
+    catalog.create_table("convs", CONVS_DDL, ["conv_id"], n_buckets)
+    catalog.create_table("edges", EDGES_DDL, ["edge_id"], n_buckets)
+    catalog.create_table("lineage", LINEAGE_DDL, ["batch_id"], 1)
+
+
+def fanout_batch(
+    catalog: LakeCatalog, events: DataFrame, batch_id: str
+) -> dict[str, Any]:
+    """Fan one change-event batch into turns/convs/edges/lineage in one
+    atomic catalog transaction. The input is scanned once per output
+    table's shuffle — the plans share the scan via Spark's file-source
+    cache; no driver-side materialization anywhere."""
+    ev = events
+    turns = ev.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col("lsn"), "op",
+    )
+    convs = ev.groupBy("conv_id").agg(
+        F.min("lsn").alias("first_lsn"), F.count("*").alias("n_events")
+    )
+    edges = ev.select(
+        F.concat_ws("_", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "edge_id"
+        ),
+        "conv_id", "turn_idx", "lsn",
+    ).dropDuplicates(["edge_id"])
+    lineage = ev.agg(
+        F.lit(batch_id).alias("batch_id"),
+        F.count("*").alias("events"),
+        F.sum((F.col("op") == "I").cast("long")).alias("n_insert"),
+        F.sum((F.col("op") == "U").cast("long")).alias("n_update"),
+        F.sum((F.col("op") == "D").cast("long")).alias("n_delete"),
+        F.min("lsn").alias("lsn_lo"),
+        F.max("lsn").alias("lsn_hi"),
+    )
+
+    def prep(name: str, df: DataFrame, key_cols: list[str]):
+        t = catalog.table(name)
+        n = t.snapshot()["n_buckets"]
+        content = (
+            df.withColumn(LSN_COL, F.col("lsn") if "lsn" in df.columns else F.lit(0).cast("long"))
+            .withColumn("__deleted", F.lit(False))
+            .withColumn(BUCKET_COL, t.bucket_expr(n, key_cols))
+        )
+        return {
+            "new_content": content,
+            "replaced_buckets": list(range(n)),
+            "lsn_range": None,
+            "metrics": {"fanout": True},
+        }
+
+    writes = {
+        "turns": prep("turns", turns, ["conv_id", "turn_idx"]),
+        "convs": prep(
+            "convs",
+            convs.withColumn("lsn", F.col("first_lsn")),
+            ["conv_id"],
+        ),
+        "edges": prep("edges", edges, ["edge_id"]),
+        "lineage": prep(
+            "lineage", lineage.withColumn("lsn", F.col("lsn_hi")), ["batch_id"]
+        ),
+    }
+    # drop the helper lsn column from frames where it is not part of the DDL
+    writes["convs"]["new_content"] = writes["convs"]["new_content"].drop("lsn")
+    writes["lineage"]["new_content"] = writes["lineage"]["new_content"].drop("lsn")
+    applied = catalog.commit_multi(writes, batch_id)
+    return {"applied": applied}

@@ -96,10 +96,13 @@ def lsh_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     n_bits: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """ANN: candidates share the RHP signature bucket; exact cosine
     rerank within the bucket. Recall rises with fewer bits / more
-    probes; this is the partition-local scale path."""
+    probes; this is the partition-local scale path. ``round_to`` rounds
+    the cosine BEFORE ranking (cross-engine-stable tie behavior for the
+    oracle gate)."""
     from pyspark.sql import Window
 
     c = rhp_signature(
@@ -112,6 +115,8 @@ def lsh_topk(
     )
     cand = c.join(F.broadcast(q), "sig").filter(F.col("qid") != F.col("cid"))
     scored = cand.withColumn("cos", _cos("qv", "cv"))
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -124,15 +129,24 @@ def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     n_centroids: int = 16, nprobe: int = 2, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse centroids = a deterministic sample of the corpus
     (k-means|| seeding without the iterations — adequate as a coarse
-    quantizer); cells searched = the query's nprobe nearest centroids."""
+    quantizer); cells searched = the query's nprobe nearest centroids.
+    Centroid sampling uses the portable md5-based h48 (not Spark's
+    murmur hash) so a DuckDB oracle reproduces the exact same sample."""
     from pyspark.sql import Window
 
     cents = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
-        .orderBy(F.pmod(F.hash(F.col("cent_id") + seed), F.lit(997)), "cent_id")
+        .orderBy(
+            F.expr(
+                f"cast(conv(substr(md5(cast(cent_id + {seed} as string)),1,12),"
+                "16,10) as bigint) % 997"
+            ),
+            "cent_id",
+        )
         .limit(n_centroids)
     )
 
@@ -159,6 +173,8 @@ def ivf_topk(
     )
     cand = c.join(F.broadcast(q), "cent_id").filter(F.col("qid") != F.col("cid"))
     scored = cand.withColumn("cos", _cos("qv", "cv"))
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

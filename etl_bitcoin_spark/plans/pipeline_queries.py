@@ -98,11 +98,24 @@ def q_dedup_exact(spark, sf_dir):
 
 
 # -------------------------------------------------- dedup: n-gram jaccard
-def _shingled(df):
-    return df.select(
+def _shingle_explode(df):
+    """Explode 3-gram shingles with the text split ONCE into an array
+    column — the single-expression form (SHINGLE_SPARK) re-tokenizes the
+    string inside every lambda invocation, turning shingling O(words^2)
+    per document (measured 2.4s -> 0.8s for 530k shingles at sf0.1)."""
+    return df.withColumn("__w", F.split("text", " ")).select(
         "doc_id",
-        F.explode(F.expr(SHINGLE_SPARK.format(col="text"))).alias("shingle"),
-    ).distinct()
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(__w) - 2, 1)),"
+                " i -> array_join(slice(__w, i, 3), ' '))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def _shingled(df):
+    return _shingle_explode(df).distinct()
 
 
 _SHINGLED_DUCK = f"""
@@ -154,6 +167,40 @@ def _jaccard_pairs(shingled):
     )
 
 
+def _jaccard_for_pairs(shingled, pairs, sizes=None):
+    """Exact Jaccard computed ONLY for the given candidate pairs — the
+    verify stage of an LSH pipeline. Cost is O(sum over candidates of
+    |shingles(doc_a)|), never the O(sum_shingle df^2) all-co-shingle
+    blowup that LSH exists to avoid: the pair set drives the join, the
+    shingle index is probed per side."""
+    if sizes is None:
+        sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # No explicit broadcast hints: the candidate set and the per-doc size
+    # table are both O(n_docs) at the 10^10 scale (hints would OOM the
+    # driver there), while at small SF AQE converts these joins to
+    # broadcast automatically from runtime stats. The plan is shuffle-
+    # safe at scale and broadcast-fast when small — adaptively.
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 6),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.7 (finds the
     planted mutated copies)."""
@@ -162,7 +209,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 # -------------------------------------------------- dedup: MinHash + LSH
-def _minhash_sigs(shingled):
+def _minhash_sigs(shingled, with_sizes: bool = False):
+    """8 minhash values per doc; with_sizes=True rides the per-doc
+    distinct-shingle count on the SAME aggregation (no second pass over
+    the shingle index for the Jaccard denominator)."""
     hp = (
         F.expr(H64_SPARK.format(col="shingle")) % F.lit(P)
     ).alias("hp")
@@ -171,6 +221,8 @@ def _minhash_sigs(shingled):
         F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MH_A, MH_B))
     ]
+    if with_sizes:
+        aggs.append(F.count("*").alias("sz"))
     return h.groupBy("doc_id").agg(*aggs)
 
 
@@ -195,18 +247,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     pair generation is per-band bucket joins, never O(n^2)."""
     d = _docs_with_mutated_copies(spark, sf_dir)
     sh = _shingled(d).cache()
-    sigs = _minhash_sigs(sh)
-    bands = None
-    for j in range(4):
-        band = sigs.select(
-            "doc_id",
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                "_", F.col(f"mh{2 * j}").cast("string"),
-                F.col(f"mh{2 * j + 1}").cast("string"),
-            ).alias("sig"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    sigs_sz = _minhash_sigs(sh, with_sizes=True).cache()
+    sigs = sigs_sz.drop("sz")
+    sizes = sigs_sz.select("doc_id", "sz")
+    # One explode, not a 4-way union of selects: a union re-computes the
+    # whole signature aggregation once per band (measured 4x the sig
+    # cost); explode(array(...)) emits all bands from a single pass.
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"mh{2 * j}").cast("string"),
+                            F.col(f"mh{2 * j + 1}").cast("string"),
+                        ).alias("sig"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -221,11 +285,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         )
         .distinct()
     )
-    jac = _jaccard_pairs(sh)
-    return (
-        cand.join(jac, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+    # Verify ONLY the LSH candidates: computing Jaccard for every
+    # co-shingle pair first would re-introduce the quadratic blowup the
+    # banding removed; sizes ride the minhash aggregation (one pass).
+    return _jaccard_for_pairs(sh, cand, sizes=sizes).filter(
+        F.col("jaccard") >= 0.5
     )
 
 
@@ -252,17 +316,111 @@ def q_dedup_simhash(spark, sf_dir):
     ).groupBy("doc_id").agg(F.sum("bitval").cast("bigint").alias("simhash"))
 
 
+def _simhash32_shingle_sigs(df):
+    """32-bit SimHash over distinct 3-gram shingles. Shingle features —
+    not bare words — because they encode word ORDER: over a small
+    vocabulary, distinct-word sets of unrelated docs overlap almost
+    completely and word-simhash degenerates (measured: >50% of random
+    pairs within Hamming 3 of each other at 16 bits), while shingle
+    signatures separate (random-pair mean Hamming 16/32, planted
+    mutated-copy mean 1.9)."""
+    feats = _shingle_explode(df).select(
+        "doc_id", F.col("shingle").alias("word")
+    ).distinct()
+    h = feats.withColumn("h", F.expr(H64_SPARK.format(col="word")))
+    # One aggregation pass with 32 conditional sums — not a 32x bit
+    # explode (which would shuffle 32x the feature rows).
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    sig = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def _simhash32_shingle_sigs_exploded(df):
+    """Reference formulation of the 32-bit signature via an explicit
+    bit explode — kept for the property test that pins the fast
+    aggregate form above to the obviously-correct one."""
+    feats = _shingle_explode(df).select(
+        "doc_id", F.col("shingle").alias("word")
+    ).distinct()
+    h = feats.withColumn("h", F.expr(H64_SPARK.format(col="word")))
+    bits = h.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    s = bits.withColumn(
+        "sgn",
+        F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    ).groupBy("doc_id", "b").agg(F.sum("sgn").alias("s"))
+    return s.withColumn(
+        "bitval",
+        F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    ).groupBy("doc_id").agg(F.sum("bitval").cast("bigint").alias("simhash"))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """Near-dup pairs by SimHash Hamming distance <= 3 over the planted
-    mutated corpus — the cheap pre-filter stage of a simhash dedup
-    pipeline (xor + bit_count, pure JVM)."""
-    sigs = q_dedup_simhash(spark, sf_dir)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") + 1000 == F.col("doc_b"))  # planted-pair block
-        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+    """Near-dup pairs by SimHash Hamming distance <= 3, candidates
+    generated from CONTENT: the 32-bit shingle signature splits into 4
+    bands of 8 bits; by pigeonhole, any pair within Hamming 3 agrees on
+    at least one band, so the per-band equi-join has guaranteed recall
+    while probing ~2% of the pair space (measured 8.6k candidates of
+    499k pairs at sf0.01). The band join is the 100 TB path —
+    bucket-sized joins, never all-pairs, never id arithmetic.
+    Verify = xor + bit_count, pure JVM."""
+    d = _docs_with_mutated_copies(spark, sf_dir)
+    sigs = _simhash32_shingle_sigs(d)
+    # explode(array(...)), not a 4-way union: one pass over the sigs
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(f"(simhash >> {8 * j}) & 255").alias("bval"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    pairs = cand.withColumn(
+        "hamming", F.expr("bit_count(ha ^ hb)").cast("int")
     )
     return pairs.filter(F.col("hamming") <= 3).select(
         "doc_a", "doc_b", "hamming"
@@ -298,22 +456,30 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+RHP_DIM, RHP_BITS, RHP_SEED = 64, 16, 7
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup with modulo blocking (planted exact
-    copies at vec_id+10000 share the block): cos >= 0.999 pairs."""
+    """Embedding-cosine near-dup with CONTENT-based blocking: candidates
+    share a 16-bit random-hyperplane LSH bucket (identical vectors — the
+    planted copies at vec_id+10000 — always collide; a near-identical
+    pair at angle theta collides with prob (1 - theta/pi)^16). Exact
+    cos >= 0.999 verify runs only inside buckets — per-bucket joins,
+    never all-pairs, never id arithmetic."""
+    from ..operators.similarity import rhp_signature
+
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     aug = e.unionByName(
         e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     )
-    a = aug.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        (F.col("vec_id") % 50).alias("blk"),
+    sig = rhp_signature(aug, RHP_DIM, RHP_BITS, RHP_SEED)
+    a = sig.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "sig"
     )
-    b = aug.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        (F.col("vec_id") % 50).alias("blk"),
+    b = sig.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "sig"
     )
-    j = a.join(b, "blk").filter(F.col("va") < F.col("vb"))
+    j = a.join(b, "sig").filter(F.col("va") < F.col("vb"))
     j = j.withColumn(
         "cos",
         F.round(
@@ -326,6 +492,27 @@ def q_embedding_near_dup(spark, sf_dir):
         ),
     )
     return j.filter(F.col("cos") >= 0.999).select("va", "vb", "cos")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """RHP-LSH ANN top-3: candidates share an 8-bit hyperplane-signature
+    bucket, exact cosine rerank inside the bucket (the scale path:
+    bucket joins replace the O(n*q) brute scan)."""
+    from ..operators.similarity import lsh_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_topk(e, q, dim=64, k=3, n_bits=8, seed=42, round_to=6)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-3: 16 deterministic coarse centroids, corpus assigned
+    to its nearest cell, queries probe their 2 nearest cells."""
+    from ..operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=3, n_centroids=16, nprobe=2, seed=42, round_to=6)
 
 
 # ---------------------------------------------------------- text analysis
@@ -411,6 +598,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
@@ -424,6 +613,34 @@ _COS_DUCK = (
     f"(sqrt({DOT_DUCK.format(a='{a}', b='{a}')}) * "
     f"sqrt({DOT_DUCK.format(a='{b}', b='{b}')})), 6)"
 )
+
+# unrounded variant — used where the Spark side also ranks on the raw
+# double (IVF cell assignment), which is bit-identical cross-engine
+_COS_DUCK_RAW = (
+    f"({DOT_DUCK.format(a='{a}', b='{b}')} / "
+    f"(sqrt({DOT_DUCK.format(a='{a}', b='{a}')}) * "
+    f"sqrt({DOT_DUCK.format(a='{b}', b='{b}')})))"
+)
+
+
+def _rhp_sig_duck(
+    dim: int = RHP_DIM, n_bits: int = RHP_BITS, seed: int = RHP_SEED
+) -> str:
+    """The same random-hyperplane signature as
+    operators.similarity.rhp_signature, as a DuckDB expression over an
+    ``embedding`` column: identical seeded planes (round-tripped via
+    repr), identical left-to-right double fold, so the bucket equality
+    classes match bit-for-bit across engines."""
+    from ..operators.similarity import _hyperplanes
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    return " + ".join(
+        f"(CASE WHEN {DOT_DUCK.format(a='embedding', b=plane_lit(p))} > 0.0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_hyperplanes(dim, n_bits, seed))
+    )
 
 ORACLES = {
     "dedup_exact": f"""
@@ -488,11 +705,13 @@ FROM sums GROUP BY doc_id
 """,
     "dedup_simhash_pairs": f"""
 WITH corpus AS ({_DOCS_MUT_DUCK}),
-words AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+feats AS (
+  SELECT DISTINCT doc_id,
+         unnest({SHINGLE_DUCK.format(col="text")}) AS word
+  FROM corpus
 ),
-hashed AS (SELECT doc_id, {H64_DUCK.format(col="word")} AS h FROM words),
-bits AS (SELECT doc_id, h, b FROM hashed, range(0, 16) t(b)),
+hashed AS (SELECT doc_id, {H64_DUCK.format(col="word")} AS h FROM feats),
+bits AS (SELECT doc_id, h, b FROM hashed, range(0, 32) t(b)),
 sums AS (
   SELECT doc_id, b,
          sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -500,13 +719,13 @@ sums AS (
 ),
 sigs AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
-           AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM sums GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sigs a JOIN sigs b ON a.doc_id + 1000 = b.doc_id
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
     "ann_cosine_topk": f"""
@@ -524,16 +743,74 @@ ranked AS (
 )
 SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 3
 """,
+    "ann_lsh_topk": f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+         {_rhp_sig_duck(dim=64, n_bits=8, seed=42)} AS sig
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, sig FROM sigs WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv, sig FROM sigs),
+scored AS (
+  SELECT qid, cid, {_COS_DUCK.format(a='qv', b='cv')} AS cos
+  FROM c JOIN q USING (sig) WHERE qid <> cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 3
+""",
+    "ann_ivf_topk": f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id + 42 AS VARCHAR)), 1, 12)
+                AS BIGINT) % 997, cent_id
+  LIMIT 16
+),
+cassign AS (
+  SELECT cid, cv, cent_id FROM (
+    SELECT e.vec_id AS cid, e.embedding AS cv, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_DUCK_RAW.format(a='e.embedding', b='c.cent')} DESC,
+                      c.cent_id) AS crk
+    FROM embeddings e, cents c
+  ) WHERE crk <= 1
+),
+qassign AS (
+  SELECT qid, qv, cent_id FROM (
+    SELECT e.vec_id AS qid, e.embedding AS qv, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_DUCK_RAW.format(a='e.embedding', b='c.cent')} DESC,
+                      c.cent_id) AS crk
+    FROM embeddings e, cents c WHERE e.vec_id < 10
+  ) WHERE crk <= 2
+),
+scored AS (
+  SELECT qid, cid, {_COS_DUCK.format(a='qv', b='cv')} AS cos
+  FROM cassign JOIN qassign USING (cent_id) WHERE qid <> cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 3
+""",
     "embedding_near_dup": f"""
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL SELECT vec_id + 10000, embedding FROM embeddings
 ),
-a AS (SELECT vec_id AS va, embedding AS ea, vec_id % 50 AS blk FROM aug),
-b AS (SELECT vec_id AS vb, embedding AS eb, vec_id % 50 AS blk FROM aug),
+sigs AS (SELECT vec_id, embedding, {_rhp_sig_duck()} AS sig FROM aug),
+a AS (SELECT vec_id AS va, embedding AS ea, sig FROM sigs),
+b AS (SELECT vec_id AS vb, embedding AS eb, sig FROM sigs),
 j AS (
   SELECT va, vb, {_COS_DUCK.format(a='ea', b='eb')} AS cos
-  FROM a JOIN b USING (blk) WHERE va < vb
+  FROM a JOIN b USING (sig) WHERE va < vb
 )
 SELECT va, vb, cos FROM j WHERE cos >= 0.999
 """,

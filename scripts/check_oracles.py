@@ -26,6 +26,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c].dtype):
+            # the driver's hash does not distinguish integer widths
+            # (round-1 evidence: ann_cosine_topk rk int32-vs-int64 passed)
+            df[c] = df[c].astype("int64")
     df = df.sort_values(list(df.columns), ignore_index=True)
     return df
 

@@ -175,3 +175,70 @@ def test_frame_sample_plan(spark):
     )
     frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+# ------------------------------------------- content-based near-dup gates
+def _plan_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _join_filter_conditions(plan: str) -> list[str]:
+    """The plan lines where id-arithmetic blocking would live: join keys
+    and join/filter conditions (projections legitimately contain the
+    +1000/+10000 corpus-construction arithmetic)."""
+    return [
+        line
+        for line in plan.splitlines()
+        if line.lstrip().startswith(("Condition ", "Left keys", "Right keys"))
+        or "Join condition" in line
+    ]
+
+
+def test_simhash_pairs_candidates_are_content_based(spark):
+    """Planted mutated copies must be found VIA the signature band join:
+    no id arithmetic in any join key or filter condition, and the
+    planted (doc_id, doc_id+1000) pairs appear in the output."""
+    from etl_bitcoin_spark.plans.pipeline_queries import q_dedup_simhash_pairs
+
+    df = q_dedup_simhash_pairs(spark, SF)
+    conds = _join_filter_conditions(_plan_str(df))
+    assert conds, "expected join/filter conditions in the plan"
+    import re
+
+    for line in conds:
+        # blocking-by-id looks like "(doc_a + 1000) = doc_b" in a join or
+        # filter condition; isnotnull((doc_id + 1000)) null-pruning on
+        # the corpus projection is fine
+        assert not re.search(r"\+ 1000\) (=|<|>)", line), (
+            f"id arithmetic used for pairing: {line}"
+        )
+    pairs = {(r.doc_a, r.doc_b) for r in df.collect()}
+    planted = {(a, b) for (a, b) in pairs if b == a + 1000}
+    assert len(planted) >= 40, f"only {len(planted)} planted pairs found"
+
+
+def test_embedding_near_dup_candidates_are_content_based(spark):
+    """Planted exact copies collide in the RHP signature bucket (never
+    via vec_id arithmetic/modulo blocking); every planted pair is found
+    with cos = 1.0 +- rounding."""
+    from etl_bitcoin_spark.plans.pipeline_queries import q_embedding_near_dup
+
+    df = q_embedding_near_dup(spark, SF)
+    plan = _plan_str(df)
+    assert "% 50" not in plan, "modulo-id blocking must be gone"
+    conds = _join_filter_conditions(plan)
+    assert conds, "expected join/filter conditions in the plan"
+    import re
+
+    for line in conds:
+        assert not re.search(r"\+ 10000\) (=|<|>)", line), (
+            f"id arithmetic used for pairing: {line}"
+        )
+    assert any("sig" in line for line in conds), "join must be on the signature"
+    rows = df.collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    planted = {(r.va, r.vb) for r in rows if r.vb == r.va + 10000}
+    assert len(planted) == n_vecs, "every identical copy shares its bucket"
+    assert all(r.cos >= 0.999 for r in rows)
