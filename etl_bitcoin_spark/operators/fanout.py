@@ -93,11 +93,17 @@ def fanout_batch(
             .withColumn("__deleted", F.lit(False))
             .withColumn(BUCKET_COL, t.bucket_expr(n, key_cols))
         )
+        # Fast append (metadata-only file-list merge): fan-out tables are
+        # append-mostly event logs, exactly like the reference's CSV
+        # appends (csv_file.go:57-74) — dedup is in-batch only
+        # (neo4j_csv.go:97), duplicates across batches are the consumer's
+        # MERGE problem, faithfully preserved here.
         return {
             "new_content": content,
-            "replaced_buckets": list(range(n)),
+            "replaced_buckets": [],
             "lsn_range": None,
             "metrics": {"fanout": True},
+            "mode": "append",
         }
 
     writes = {

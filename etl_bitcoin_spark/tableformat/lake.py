@@ -188,13 +188,22 @@ class LakeTable:
         lsn_range: tuple[int, int] | None = None,
         metrics: dict[str, Any] | None = None,
         lsn_ranges: list[list[int]] | None = None,
+        mode: str = "replace",
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
         LSN_COL and only rows belonging to those buckets). Returns False
         (no-op) if ``batch_id`` was already applied — the exactly-once
         guard. Untouched buckets carry their existing files forward
-        (metadata-only, zero data movement)."""
+        (metadata-only, zero data movement).
+
+        ``mode="append"`` is the Iceberg-style fast append: new files
+        are ADDED to their buckets' file lists and nothing is replaced —
+        pure metadata merge, the scalable path for append-mostly fan-out
+        tables (event nodes, edges, lineage). ``replaced_buckets`` must
+        be empty in append mode."""
+        if mode == "append" and replaced_buckets:
+            raise ValueError("append mode cannot replace buckets")
         prev = self.snapshot()
         if batch_id in prev["applied_batch_ids"]:
             return False
@@ -202,11 +211,13 @@ class LakeTable:
         out_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
         # Per-bucket row counts ride along with the write itself via
         # Observation metrics — no parquet-footer re-reads, no second
-        # job. (Footer fallback kicks in above 256 buckets, where 256+
-        # aggregate expressions would bloat the plan.)
+        # job. Above 128 buckets the N conditional sums get expensive
+        # (measured: 1024 when-sums cost 4x the write itself), so large
+        # tables use a DISTRIBUTED footer-stats job instead — flat in
+        # bucket count, never a driver-side crawl.
         n_buckets = prev["n_buckets"]
         obs = None
-        if n_buckets <= 256:
+        if n_buckets <= 128:
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -252,7 +263,8 @@ class LakeTable:
                 info["files"].append(os.path.join(rel, entry, fn))
             for b, info in per_bucket.items():
                 info["rows"] = obs_rows.get(b, 0)
-        elif work:
+        elif len(work) <= 64:
+            # small commit: direct footer reads beat a job round-trip
             from concurrent.futures import ThreadPoolExecutor
 
             def _meta(item):
@@ -265,9 +277,46 @@ class LakeTable:
                     info = per_bucket.setdefault(b, {"files": [], "rows": 0})
                     info["files"].append(relpath)
                     info["rows"] += n
+        else:
+            # scale path: read footers ON THE EXECUTORS — one tiny job,
+            # wall time flat in bucket count (a 4096-bucket commit reads
+            # 4096 footers across the cluster, not serially on the
+            # driver).
+            meta_rows = self.spark.createDataFrame(
+                [(b, os.path.join(out_dir, e, f), os.path.join(rel, e, f))
+                 for b, e, f in work],
+                "b string, abspath string, relpath string",
+            )
+
+            def _read_footers(batches):
+                import pyarrow.parquet as _pq
+
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["rows"] = [
+                        _pq.read_metadata(p).num_rows for p in pdf["abspath"]
+                    ]
+                    yield pdf[["b", "relpath", "rows"]]
+
+            stats = meta_rows.repartition(
+                min(len(work), 2 * int(self.spark.sparkContext.defaultParallelism))
+            ).mapInPandas(
+                _read_footers, "b string, relpath string, rows long"
+            ).collect()
+            for r in stats:
+                info = per_bucket.setdefault(r["b"], {"files": [], "rows": 0})
+                info["files"].append(r["relpath"])
+                info["rows"] += int(r["rows"])
         for b, info in per_bucket.items():
             info["files"].sort()
-            if info["rows"] > 0:
+            if mode == "append":
+                if info["rows"] > 0:
+                    prev_b = buckets.get(b, {"files": [], "rows": 0})
+                    buckets[b] = {
+                        "files": sorted(prev_b["files"] + info["files"]),
+                        "rows": prev_b["rows"] + info["rows"],
+                    }
+            elif info["rows"] > 0:
                 buckets[b] = info
             elif b in buckets:
                 del buckets[b]
@@ -429,16 +478,44 @@ class LakeTable:
             "files_removed": files_removed,
         }
 
-    def compact_bucket_tombstones(self, max_tombstone_lsn: int) -> None:
-        """Placeholder for tombstone compaction policy: tombstones below
-        a retention LSN horizon can be dropped once no producer can emit
-        lsns below the horizon. Left as metadata-only documentation in
-        v1 — tombstones are one row per deleted key, negligible next to
-        data."""
-        raise NotImplementedError(
-            "tombstone compaction lands with retention policies; "
-            "tombstones are O(deleted keys) and safe to retain"
+    def compact_bucket_tombstones(
+        self, horizon_lsn: int, batch_id: str | None = None
+    ) -> dict[str, int]:
+        """Drop tombstones at or below a producer LSN horizon.
+
+        Tombstones exist to defeat LATE re-deliveries of I/U events with
+        lsns below a delete (merge.py LWW algebra). Once the producer
+        guarantees no event with ``lsn <= horizon_lsn`` will ever arrive
+        again (a low-watermark contract), those tombstones carry no
+        information and can be compacted away. Duplicate REPLAYS of old
+        events below the horizon remain harmless: they die at the exact
+        applied-range guard (state.ExactlyOnceFilter), which compaction
+        does not touch.
+
+        Only buckets that actually hold compactable tombstones are
+        rewritten (discovered by a pruned scan); the rest carry forward
+        metadata-only."""
+        snap = self.snapshot()
+        n_buckets = snap["n_buckets"]
+        victim = F.col(DELETED_COL) & (F.col(LSN_COL) <= F.lit(horizon_lsn))
+        affected = [
+            r[BUCKET_COL]
+            for r in self.read()
+            .filter(victim)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return {"buckets_rewritten": 0, "applied": False}
+        kept = self.read(buckets=affected).filter(~victim)
+        ok = self.commit(
+            kept.repartition(len(affected), *snap["key_cols"]),
+            affected,
+            batch_id or f"compact-tombstones-{horizon_lsn}",
+            metrics={"compaction": True, "horizon_lsn": horizon_lsn},
         )
+        return {"buckets_rewritten": len(affected) if ok else 0, "applied": ok}
 
     # -------------------------------------------------------------- lineage
     @property

@@ -1,0 +1,126 @@
+"""LakeCatalog: atomic multi-table transactions + one-pass fan-out.
+
+Mirrors the reference's one-DBTx-many-tables Commit semantics
+(database/csv/neo4j_csv/neo4j_csv.go:103-117) and fixes its known
+weakness: a worker failing mid-commit must NOT leave readers a partial
+transaction.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_bitcoin_spark.operators.fanout import (
+    create_fanout_tables,
+    fanout_batch,
+)
+from etl_bitcoin_spark.operators.merge import BINLOG_DDL
+from etl_bitcoin_spark.tableformat.catalog import LakeCatalog
+from etl_bitcoin_spark.tableformat.lake import BUCKET_COL, LSN_COL, LakeTable
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (l, op, c, t, None if op == "D" else "user",
+             None if op == "D" else x, None, datetime(2024, 1, 1, 0, 0, s))
+            for (l, op, c, t, x, s) in rows
+        ],
+        BINLOG_DDL,
+    )
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    c = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    create_fanout_tables(c, n_buckets=4)
+    return c
+
+
+def test_fanout_one_pass_multi_table(spark, cat):
+    ev = _events(spark, [
+        (1, "I", "a", 0, "hi", 1),
+        (2, "I", "a", 1, "there", 2),
+        (3, "I", "b", 0, "yo", 3),
+        (4, "U", "a", 0, "hi-v2", 4),
+        (5, "D", "b", 0, None, 5),
+    ])
+    assert fanout_batch(cat, ev, "batch-1")["applied"]
+    turns = cat.read("turns", user_cols=True)
+    assert turns.count() == 5
+    convs = {
+        (r.conv_id, r.n_events)
+        for r in cat.read("convs", user_cols=True).collect()
+    }
+    assert convs == {("a", 3), ("b", 2)}
+    edges = {r.edge_id for r in cat.read("edges", user_cols=True).collect()}
+    assert edges == {"a_0", "a_1", "b_0"}
+    lin = cat.read("lineage", user_cols=True).collect()[0]
+    assert (lin.events, lin.n_insert, lin.n_update, lin.n_delete) == (5, 3, 1, 1)
+    assert (lin.lsn_lo, lin.lsn_hi) == (1, 5)
+    # replay the same batch -> no-op
+    assert not fanout_batch(cat, ev, "batch-1")["applied"]
+
+
+def test_crash_between_tables_readers_see_old_snapshot(
+    spark, cat, monkeypatch
+):
+    """Fail the transaction after SOME tables committed: the catalog
+    must still serve the previous snapshot of every table; re-running
+    the same batch completes the transaction exactly once."""
+    ev1 = _events(spark, [(1, "I", "a", 0, "one", 1)])
+    assert fanout_batch(cat, ev1, "b1")["applied"]
+    before = {
+        name: cat.read(name, user_cols=True).count()
+        for name in ("turns", "convs", "edges", "lineage")
+    }
+
+    ev2 = _events(spark, [(2, "I", "c", 0, "two", 2),
+                          (3, "I", "d", 0, "three", 3)])
+    orig_commit = LakeTable.commit
+    calls = {"n": 0}
+
+    def exploding_commit(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die after two tables landed
+            raise RuntimeError("injected crash mid multi-table commit")
+        return orig_commit(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", exploding_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fanout_batch(cat, ev2, "b2")
+    monkeypatch.setattr(LakeTable, "commit", orig_commit)
+
+    # catalog reads: ALL tables still at the pre-crash snapshot, even
+    # though two tables physically committed new versions
+    for name in ("turns", "convs", "edges", "lineage"):
+        assert cat.read(name, user_cols=True).count() == before[name], name
+
+    # resume: same batch id completes; already-committed tables are
+    # recovered by batch_id, not double-applied
+    assert fanout_batch(cat, ev2, "b2")["applied"]
+    assert cat.read("turns", user_cols=True).count() == before["turns"] + 2
+    assert cat.read("convs", user_cols=True).count() == before["convs"] + 2
+    got = {r.conv_id for r in cat.read("convs", user_cols=True).collect()}
+    assert got == {"a", "c", "d"}
+
+
+def test_catalog_pinned_versions_are_stable(spark, cat):
+    """A direct table write outside the catalog transaction must not
+    leak into catalog reads (pinned-version isolation)."""
+    ev = _events(spark, [(1, "I", "a", 0, "one", 1)])
+    fanout_batch(cat, ev, "b1")
+    n0 = cat.read("turns", user_cols=True).count()
+    t = cat.table("turns")
+    rogue = (
+        _events(spark, [(99, "I", "z", 0, "rogue", 9)])
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts",
+                F.col("lsn"), "op")
+        .withColumn(LSN_COL, F.col("lsn"))
+        .withColumn("__deleted", F.lit(False))
+        .withColumn(BUCKET_COL, t.bucket_expr(4, ["conv_id", "turn_idx"]))
+    )
+    t.commit(rogue, list(range(4)), "rogue-commit")
+    assert t.read(user_cols=True).count() == 1  # table head moved
+    assert cat.read("turns", user_cols=True).count() == n0  # catalog stable

@@ -232,3 +232,124 @@ def test_applied_batch_ids_bounded(spark, tmp_lake_dir):
     assert len(ids) == MAX_APPLIED_BATCH_IDS
     assert ids[-1] == f"evo{MAX_APPLIED_BATCH_IDS + 9}"
     assert "b0" not in ids
+
+
+def test_commit_metadata_scales_with_bucket_count(spark, tmp_path, monkeypatch):
+    """Commit metadata harvest must not become a driver-side crawl at
+    high bucket counts: above the Observation cap, footer stats are read
+    by a DISTRIBUTED job — the driver-side pyarrow reader must never be
+    invoked (mechanism assertion; wall-clock ratios are too noisy on a
+    shared host). A loose absolute bound guards against gross
+    regressions."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    import etl_bitcoin_spark.tableformat.lake as lake_mod
+
+    times = {}
+    for n_buckets in (64, 1024):
+        lake = LakeTable.create(
+            spark, str(tmp_path / f"lake{n_buckets}"), TRANSCRIPTS_DDL,
+            KEY_COLS, n_buckets,
+        )
+        df = (
+            spark.range(0, 200_000, 1, 8)
+            .select(
+                F.concat(F.lit("c"), F.col("id").cast("string")).alias("conv_id"),
+                (F.col("id") % 50).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.lit("t").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+                F.col("id").alias(LSN_COL),
+            )
+            .withColumn("__deleted", F.lit(False))
+            .withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
+            # co-partition with the bucket layout exactly like the merge
+            # path (_resolve_union): each task writes ONE bucket file —
+            # without this, every task opens a file per bucket and the
+            # write itself (not the metadata) dominates
+            .repartition(n_buckets, *KEY_COLS)
+        )
+        if n_buckets > 128:
+            # >Observation-cap commits must not touch parquet footers on
+            # the driver (the executors import pyarrow independently)
+            def _forbidden(*a, **kw):
+                raise AssertionError(
+                    "driver-side footer read on the scale path"
+                )
+
+            monkeypatch.setattr(
+                lake_mod.pq, "read_metadata", _forbidden
+            )
+        t0 = time.monotonic()
+        assert lake.commit(df, list(range(n_buckets)), "b1", (0, 199_999))
+        times[n_buckets] = time.monotonic() - t0
+        monkeypatch.undo()
+        assert lake.lineage()["rows_total"] == 200_000
+        n_files = sum(
+            len(b["files"]) for b in lake.snapshot()["buckets"].values()
+        )
+        assert n_files >= n_buckets // 2  # real per-bucket layout
+    assert times[1024] < 60.0, times  # gross-regression guard only
+
+
+def test_tombstone_compaction_below_horizon(spark, tmp_lake_dir):
+    """Compaction drops ONLY tombstones at/below the producer horizon;
+    late duplicate replays below the horizon are still rejected by the
+    exact applied-range guard, and fresher tombstones keep protecting
+    against late lower-lsn events."""
+    from datetime import datetime
+
+    from etl_bitcoin_spark.operators.merge import BINLOG_DDL, apply_batch
+    from etl_bitcoin_spark.state import ExactlyOnceFilter
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(l, op, c, t, None if op == "D" else "user",
+              None if op == "D" else x, None, datetime(2024, 1, 1, 0, 0, s))
+             for (l, op, c, t, x, s) in rows],
+            BINLOG_DDL,
+        )
+
+    apply_batch(lake, ev([
+        (1, "I", "a", 0, "one", 1),
+        (2, "I", "b", 0, "two", 2),
+        (3, "D", "a", 0, None, 3),   # old tombstone (below horizon)
+        (4, "I", "c", 0, "three", 4),
+    ]), "b1")
+    apply_batch(lake, ev([(10, "D", "c", 0, None, 10)]), "b2")  # fresh tombstone
+
+    stored = lake.read()
+    assert stored.filter(F.col("__deleted")).count() == 2
+
+    res = lake.compact_bucket_tombstones(horizon_lsn=5)
+    assert res["applied"] and res["buckets_rewritten"] >= 1
+    stored = lake.read()
+    tombs = {
+        (r.conv_id, r.turn_idx)
+        for r in stored.filter(F.col("__deleted")).collect()
+    }
+    assert tombs == {("c", 0)}, "only the below-horizon tombstone dropped"
+    live = {r.conv_id for r in lake.read(user_cols=True).collect()}
+    assert live == {"b"}
+
+    # replayed late DUPLICATE below the horizon -> exact guard kills it
+    guard = ExactlyOnceFilter(lake.lineage(), None)
+    r = apply_batch(lake, ev([(1, "I", "a", 0, "one", 1)]), "b1-replay",
+                    already_applied_filter=guard)
+    assert r["events"] == 0
+    assert lake.read(user_cols=True).count() == 1
+
+    # fresh tombstone still defeats a late lower-lsn event for key c
+    guard = ExactlyOnceFilter(lake.lineage(), None)
+    apply_batch(lake, ev([(7, "I", "c", 0, "resurrect?", 7)]), "b-late",
+                already_applied_filter=guard)
+    assert {r.conv_id for r in lake.read(user_cols=True).collect()} == {"b"}
+
+    # compaction is idempotent on batch_id
+    again = lake.compact_bucket_tombstones(horizon_lsn=5)
+    assert not again["applied"]

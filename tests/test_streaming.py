@@ -137,3 +137,40 @@ def test_stateful_conversation_progress(spark, tmp_path, binlog_pdf):
         assert got.loc[conv, "events"] == want.loc[conv, "events"]
         assert got.loc[conv, "max_turn"] == want.loc[conv, "max_turn"]
         assert got.loc[conv, "deletes"] == want.loc[conv, "deletes"]
+
+
+def test_chaos_segment_arrival_order_reconverges(spark, tmp_path, binlog_pdf):
+    """Segments delivered in ARBITRARY order (mtimes shuffled, so the
+    file source builds micro-batches out of LSN order) plus a duplicated
+    segment must still converge to the oracle: tombstone-retaining LWW
+    absorbs reordering, the exact guard kills the duplicate delivery."""
+    import os
+    import random
+    import shutil
+
+    wal = str(tmp_path / "wal")
+    paths = write_segments(binlog_pdf, wal)
+    # shuffle arrival order deterministically (seeded), worst-case-ish:
+    # ensure at least one delete-bearing segment arrives before its
+    # predecessors
+    order = list(range(len(paths)))
+    random.Random(1234).shuffle(order)
+    for arrival, idx in enumerate(order):
+        t = 1_800_000_000 + arrival
+        os.utime(paths[idx], (t, t))
+    # duplicate delivery: re-add the first-arriving segment at the end
+    dup = os.path.join(wal, "seg-redelivered.parquet")
+    shutil.copy(paths[order[0]], dup)
+    t = 1_800_000_000 + len(paths) + 1
+    os.utime(dup, (t, t))
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    tailer = BinlogTailer(
+        spark, wal, lake, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    results = tailer.run_available()
+    # the duplicated segment contributes 0 net events
+    assert sum(r.get("events", 0) for r in results) == 600
+    _check(lake, binlog_pdf)
