@@ -29,16 +29,21 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-EVENTS = int(os.environ.get("SCALING_EVENTS", "16000000"))
+EVENTS = int(os.environ.get("SCALING_EVENTS", "64000000"))
+THREAD_EVENTS = int(os.environ.get("SCALING_THREAD_EVENTS", "16000000"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
 
 # Memory per core is held constant across levels (4g/core): scaling up
 # executors must not silently shrink per-task memory, or the high level
 # spills and the comparison measures the spill, not the parallelism.
+# The executor ladder (the north rule's shape) runs at 64M events: round-1
+# measurements showed run-to-run spread collapses to ~0.1% at this size
+# (host noise fully amortized), while 16M runs vary 10-20%.
 LADDERS = [
     {
         "name": "executors (N=1 -> 4N=4, 2 cores each)",
         "factor": 4,
+        "events": EVENTS,
         "levels": [
             ("local-cluster[1,2,8192]", 2, "8g"),
             ("local-cluster[4,2,8192]", 8, "8g"),
@@ -47,6 +52,7 @@ LADDERS = [
     {
         "name": "threads (local[8] -> local[32])",
         "factor": 4,
+        "events": THREAD_EVENTS,
         "levels": [("local[8]", 8, "32g"), ("local[32]", 32, "96g")],
     },
 ]
@@ -81,13 +87,15 @@ def _probe_once(procs: int, work: int = 20_000_000) -> float:
     return time.time() - t0
 
 
-def run_level(master: str, cpus: int, driver_mem: str = "16g") -> dict:
+def run_level(
+    master: str, cpus: int, driver_mem: str = "16g", events: int = EVENTS
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=master,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_DRIVER_MEM=driver_mem,
-        BENCH_EVENTS=str(EVENTS),
+        BENCH_EVENTS=str(events),
         BENCH_REPLAY_ONLY="1",
     )
     runs = []
@@ -116,8 +124,9 @@ def main() -> None:
         lad for lad in LADDERS if not only or only in lad["name"]
     ]
     for lad in ladders:
-        lo = run_level(*lad["levels"][0])
-        hi = run_level(*lad["levels"][1])
+        ev = lad.get("events", EVENTS)
+        lo = run_level(*lad["levels"][0], events=ev)
+        hi = run_level(*lad["levels"][1], events=ev)
         speedup = hi["best_events_per_sec"] / lo["best_events_per_sec"]
         eff = speedup / lad["factor"]
         # hardware ceiling for the same proc-count step: what the pure-CPU
@@ -126,7 +135,7 @@ def main() -> None:
         cap = report["hardware_capacity"]
         hw_ceiling = (cap.get(hi_procs, hi_procs) / cap.get(lo_procs, lo_procs)) / lad["factor"]
         report["ladders"].append(
-            {"name": lad["name"], "low": lo, "high": hi,
+            {"name": lad["name"], "events": ev, "low": lo, "high": hi,
              "speedup": round(speedup, 3), "efficiency": round(eff, 3),
              "hw_ceiling_efficiency": round(hw_ceiling, 3),
              "ceiling_normalized": round(eff / hw_ceiling, 3)}
@@ -144,7 +153,9 @@ def _write_md(rep: dict) -> None:
     lines = [
         "# BENCH — CDC replay scaling evidence",
         "",
-        f"Replay job: {rep['events']:,} synthetic change events (seeded WAL, "
+        f"Replay job: {rep['events']:,} synthetic change events on the "
+        "executor ladder (the thread ladder runs 16M — see its row) "
+        "(seeded WAL, "
         "32 segments, hot-key share 0.2), applied in 4 ordered micro-batches "
         "to a fresh 64-bucket LakeTable (full merge pipeline incl. LWW "
         "windows, tombstones, bucket rewrite, atomic manifest commits). "

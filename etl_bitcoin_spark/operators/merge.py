@@ -116,23 +116,34 @@ def _resolve_union(unioned: DataFrame, n_buckets: int | None) -> DataFrame:
         # reuses this exchange and the partitionBy-bucket write emits
         # exactly ONE file per bucket.
         unioned = unioned.repartition(n_buckets, *KEY_COLS)
+    # ONE sort for the whole resolution: the ranking window sorts by
+    # (keys, deleted, ts desc, lsn desc); every other window is an
+    # UNORDERED whole-partition aggregate whose required ordering
+    # (partition keys) is a prefix of that sort, so Catalyst adds no
+    # further Sort nodes. (The previous 3-window formulation with two
+    # different orderings cost two extra full sorts of the unioned
+    # frame per batch.) Winner/tombstone selection happens by comparing
+    # each row's rank against the per-key min rank of its class —
+    # unordered min, not a second ordering.
     w = Window.partitionBy(*KEY_COLS)
+    w_ord = w.orderBy(
+        F.col(DELETED_COL).asc(), F.col("ts").desc(), F.col(LSN_COL).desc()
+    )
+    df = unioned.withColumn("__rn", F.row_number().over(w_ord))
     t = F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL))).over(w)
-    df = unioned.withColumn("__t", t)
+    df = df.withColumn("__t", t)
     live = ~F.col(DELETED_COL) & (
         F.col(LSN_COL) > F.coalesce(F.col("__t"), F.lit(-1))
     )
-    w_rank = w.orderBy(live.desc(), F.col("ts").desc(), F.col(LSN_COL).desc())
-    df = df.withColumn("__rn", F.row_number().over(w_rank))
-    keep_winner = live & (F.col("__rn") == 1)
-    w_tomb = w.orderBy(F.col(DELETED_COL).desc(), F.col(LSN_COL).desc())
-    df = df.withColumn("__rt", F.row_number().over(w_tomb))
-    keep_tomb = (
-        F.col(DELETED_COL)
-        & (F.col(LSN_COL) == F.col("__t"))
-        & (F.col("__rt") == 1)
+    # first live row in (ts desc, lsn desc) order == the LWW winner
+    df = df.withColumn("__rw", F.min(F.when(live, F.col("__rn"))).over(w))
+    is_tomb = F.col(DELETED_COL) & (F.col(LSN_COL) == F.col("__t"))
+    df = df.withColumn("__rt", F.min(F.when(is_tomb, F.col("__rn"))).over(w))
+    keep_winner = live & (F.col("__rn") == F.col("__rw"))
+    keep_tomb = is_tomb & (F.col("__rn") == F.col("__rt"))
+    return df.filter(keep_winner | keep_tomb).drop(
+        "__rn", "__t", "__rw", "__rt"
     )
-    return df.filter(keep_winner | keep_tomb).drop("__t", "__rn", "__rt")
 
 
 def merge_batch_direct(
@@ -247,13 +258,22 @@ def apply_batch(
         else:
             # In-batch duplicate lsns need NO dedicated shuffle: dups
             # share the key, so the merge window picks one copy; the
-            # distinct count keeps lineage metrics honest.
+            # distinct count keeps lineage metrics honest. Bucket
+            # discovery rides the SAME aggregation (collect_set of the
+            # bucket id) — one job, not two, per micro-batch.
             ev = ev.cache()
             cached = True
-            rng = ev.agg(
+            aggs = [
                 F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
                 F.countDistinct("lsn").alias("n"),
-            ).collect()[0]
+            ]
+            if not assume_all_buckets:
+                aggs.append(
+                    F.collect_set(
+                        lake.bucket_expr(n_buckets, KEY_COLS)
+                    ).alias("bks")
+                )
+            rng = ev.agg(*aggs).collect()[0]
             lo, hi, n = rng["lo"], rng["hi"], rng["n"]
             if n == 0:
                 lake.commit(
@@ -293,13 +313,15 @@ def apply_batch(
             # unchanged); it only costs rewrite volume, never
             # correctness.
             affected = list(range(n_buckets))
-        else:
+        elif lsn_range_hint is not None:
             affected = [
                 r["b"]
                 for r in ev.select(
                     lake.bucket_expr(n_buckets, KEY_COLS).alias("b")
                 ).distinct().collect()
             ]
+        else:
+            affected = sorted(rng["bks"])
         stored = lake.read(buckets=affected)
         merged = merge_batch_direct(stored, ev, n_buckets).withColumn(
             BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)

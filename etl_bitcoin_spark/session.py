@@ -64,6 +64,14 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
+    # Experiment hook: SPARK_GRAFT_EXTRA_CONF='{"spark.x": "y"}' lets the
+    # scaling harness A/B spark confs without code edits.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

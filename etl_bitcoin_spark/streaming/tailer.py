@@ -98,22 +98,58 @@ class BinlogTailer:
             self._save_bloom(bloom, res["lsn_range"])
         self.batch_results.append(res)
 
-    def run_available(self) -> list[dict[str, Any]]:
-        """Drain everything currently in the binlog dir (availableNow
-        trigger), blocking until converged. Restartable: the checkpoint
-        remembers consumed files; the lake's batch_id guard makes
-        replayed batches no-ops."""
-        stream = (
+    def _stream(self):
+        return (
             self.spark.readStream.schema(BINLOG_DDL)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .option("latestFirst", "false")
             .parquet(self.binlog_dir)
         )
+
+    def run_available(self) -> list[dict[str, Any]]:
+        """Drain everything currently in the binlog dir (availableNow
+        trigger), blocking until converged. Restartable: the checkpoint
+        remembers consumed files; the lake's batch_id guard makes
+        replayed batches no-ops."""
         q = (
-            stream.writeStream.foreachBatch(self._apply)
+            self._stream().writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         return self.batch_results
+
+    def run_processing_time(
+        self,
+        interval: str = "500 milliseconds",
+        until_events: int | None = None,
+        timeout_sec: float = 300.0,
+    ) -> dict[str, Any]:
+        """Steady-state micro-batch mode (processingTime trigger): the
+        deployment shape for a live WAL tail. Runs until ``until_events``
+        have been applied (or timeout), then stops and returns per-batch
+        results plus the streaming progress records for latency
+        percentiles."""
+        import time as _time
+
+        q = (
+            self._stream().writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=interval)
+            .start()
+        )
+        t0 = _time.monotonic()
+        try:
+            while _time.monotonic() - t0 < timeout_sec:
+                applied = sum(r.get("events", 0) for r in self.batch_results)
+                if until_events is not None and applied >= until_events:
+                    break
+                _time.sleep(0.2)
+        finally:
+            progress = [p for p in q.recentProgress]
+            q.stop()
+        return {
+            "batch_results": self.batch_results,
+            "progress": progress,
+        }

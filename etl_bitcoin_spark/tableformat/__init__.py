@@ -1,3 +1,4 @@
+from .catalog import LakeCatalog
 from .lake import LakeTable
 
-__all__ = ["LakeTable"]
+__all__ = ["LakeTable", "LakeCatalog"]
