@@ -50,10 +50,18 @@ LADDERS = [
         ],
     },
     {
-        "name": "threads (local[8] -> local[32])",
+        # ONE JVM, fixed 16g heap at both levels. Round-2 diagnosis: the
+        # old memory-per-core sizing (96g at 32 threads) let G1's young
+        # gen balloon; 32 threads filling it with sort/shuffle buffers
+        # produced 5-second evacuation pauses (19.6s total GC) and a 3-5x
+        # slowdown. With a 16g heap the young gen stays small and local[32]
+        # matches local[8] (480k vs 430-490k ev/s; GC 1.4s, max 73ms).
+        # ZGC measured WORSE (51k ev/s) — concurrent GC threads steal CPU
+        # on an oversubscribed host.
+        "name": "threads (local[8] -> local[32], fixed 16g heap)",
         "factor": 4,
         "events": THREAD_EVENTS,
-        "levels": [("local[8]", 8, "32g"), ("local[32]", 32, "96g")],
+        "levels": [("local[8]", 8, "16g"), ("local[32]", 32, "16g")],
     },
 ]
 
@@ -205,6 +213,36 @@ def _write_md(rep: dict) -> None:
         "efficiency.",
     ]
     lines += [
+        "",
+        "## Round-2: the single-JVM thread pathology, diagnosed and fixed",
+        "",
+        "Round 1 measured local[32] 3x SLOWER than local[8] and worked",
+        "around it by capping bench threads at 8. Round 2 ran it down with",
+        "GC logs; TWO compounding causes:",
+        "",
+        "1. **Three full sorts per batch** (one per window ordering in the",
+        "   merge resolution). Fixed structurally: the resolution now runs",
+        "   ONE sort (rank window ordered by (deleted, ts desc, lsn desc);",
+        "   winner/tombstone selected by per-key min-rank comparison via",
+        "   unordered window aggregates that reuse the same sort). Plan:",
+        "   1 Exchange + 1 Sort, was 3 Sorts. This alone lifted the 64M",
+        "   executor ladder from 0.579 to 0.66-0.80 efficiency and fixed",
+        "   local[32] at small inputs.",
+        "2. **Heap sizing**: the old ladder held memory-per-core constant",
+        "   (96g at 32 threads). G1 sizes its young gen from the heap; 32",
+        "   threads filling a huge young gen with sort/shuffle buffers",
+        "   produced 5.3-SECOND evacuation pauses, 19.6s total GC over a",
+        "   158s run (vs 0.9s/70ms at local[8]@32g) — allocation rate 4x,",
+        "   copy bandwidth fixed. With a FIXED 16g heap, local[32] runs",
+        "   480k ev/s (GC 1.4s, max 73ms), matching local[8]. ZGC measured",
+        "   far worse (51k ev/s): its concurrent GC threads steal CPU on an",
+        "   oversubscribed host.",
+        "",
+        "Deployment lesson (confirms round 1's doctrine empirically): many",
+        "small executors with modest heaps beat one fat JVM — not because",
+        "of an unexplained 'contention', but because young-gen evacuation",
+        "cost scales with threads x heap. The thread ladder below now uses",
+        "a fixed 16g heap at both levels.",
         "",
         "Raw per-run events/sec:",
         "",

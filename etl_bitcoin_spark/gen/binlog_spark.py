@@ -34,8 +34,8 @@ def _pick(arr, seed: int, salt: int):
     return F.element_at(lit, idx + 1)
 
 
-def spark_binlog(
-    spark: SparkSession,
+def derive_binlog_columns(
+    df: DataFrame,
     n_events: int,
     seed: int = 42,
     n_convs: int = 100_000,
@@ -44,12 +44,12 @@ def spark_binlog(
     hot_share: float = 0.2,
     delete_rate: float = 0.08,
     ts_collision_rate: float = 0.15,
-    dup_rate: float = 0.02,
     evolution_point: float = 0.5,
-    partitions: int | None = None,
 ) -> DataFrame:
-    parts = partitions or max(32, n_events // 500_000)
-    df = spark.range(0, n_events, 1, parts)
+    """Map an ``id`` column (monotonic ordinal) to the full binlog event
+    schema via pure deterministic hash-mixing — usable over spark.range
+    (bulk generation) or a live streaming source's ordinal (the
+    pull-based tailer in streaming/sources.py)."""
     conv_num = F.when(
         _u(seed, 1) < hot_share,
         F.pmod(F.hash("id", F.lit(seed), F.lit(2)), F.lit(n_hot)),
@@ -90,6 +90,30 @@ def spark_binlog(
         # 1704067200000000 = 2024-01-01T00:00:00Z in epoch micros
         # (literal: no session-timezone dependence)
         F.timestamp_micros(micros + F.lit(1704067200000000)).alias("ts"),
+    )
+    return out
+
+
+def spark_binlog(
+    spark: SparkSession,
+    n_events: int,
+    seed: int = 42,
+    n_convs: int = 100_000,
+    max_turns: int = 50,
+    n_hot: int = 1,
+    hot_share: float = 0.2,
+    delete_rate: float = 0.08,
+    ts_collision_rate: float = 0.15,
+    dup_rate: float = 0.02,
+    evolution_point: float = 0.5,
+    partitions: int | None = None,
+) -> DataFrame:
+    parts = partitions or max(32, n_events // 500_000)
+    df = spark.range(0, n_events, 1, parts)
+    out = derive_binlog_columns(
+        df, n_events, seed=seed, n_convs=n_convs, max_turns=max_turns,
+        n_hot=n_hot, hot_share=hot_share, delete_rate=delete_rate,
+        ts_collision_rate=ts_collision_rate, evolution_point=evolution_point,
     )
     if dup_rate > 0:
         dups = out.filter(_u_on(out, seed, 13) < dup_rate)

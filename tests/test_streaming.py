@@ -174,3 +174,42 @@ def test_chaos_segment_arrival_order_reconverges(spark, tmp_path, binlog_pdf):
     # the duplicated segment contributes 0 net events
     assert sum(r.get("events", 0) for r in results) == 600
     _check(lake, binlog_pdf)
+
+
+def test_rate_source_pull_tailer_matches_oracle(spark, tmp_path):
+    """Pull-based live source (the reference's RPC-poll analog): a
+    rate-micro-batch stream of deterministically derived change events,
+    applied with full guards, converges to the same state as replaying
+    the identical events in bulk."""
+    from etl_bitcoin_spark.gen.binlog_spark import derive_binlog_columns
+    from etl_bitcoin_spark.operators.merge import replay as bulk_replay
+    from etl_bitcoin_spark.streaming.sources import RateSourceTailer
+
+    gen_kw = dict(n_convs=40, max_turns=10, hot_share=0.3)
+    n_batches, rows_per_batch = 4, 500
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    tailer = RateSourceTailer(
+        spark, lake, str(tmp_path / "ckpt"),
+        rows_per_batch=rows_per_batch, seed=7, **gen_kw,
+    )
+    results = tailer.run(n_batches=n_batches, timeout_sec=180)
+    applied = sum(r.get("events", 0) for r in results)
+    assert applied >= n_batches * rows_per_batch
+
+    # bulk-replay the SAME derived events into a second lake
+    import pyspark.sql.functions as F
+
+    ids = spark.range(0, applied).select(F.col("id"))
+    events = derive_binlog_columns(ids, 10**9, seed=7, **gen_kw)
+    lake2 = LakeTable.create(
+        spark, str(tmp_path / "lake2"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    bulk_replay(lake2, events, batch_lsn_width=None)
+
+    a = lake.read(user_cols=True).orderBy("conv_id", "turn_idx").collect()
+    b = lake2.read(user_cols=True).orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
