@@ -71,18 +71,29 @@ def extract_features(
     df: DataFrame,
     bytes_col: str = "media_bytes",
     target_partition_mb: int = 64,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Partition count is sized by estimated bytes (media rows are fat);
-    each Arrow batch is processed vectorized, one numpy pass per batch.
+    Partition count is sized by a bytes-per-partition budget (media rows
+    are fat, executor memory bounds the batch). Pass ``n_partitions``
+    when the caller knows the payload volume (e.g. from table lineage —
+    the usual case in a pipeline); otherwise a single sampling job
+    estimates it (sample and count fused into ONE aggregation, not a
+    count() plus a limit().collect() pair). Each Arrow batch is
+    processed vectorized, one numpy pass per batch.
     """
-    est_rows = df.limit(1000).select(
-        F.length(bytes_col).alias("n")
-    ).agg(F.avg("n")).collect()[0][0] or 1
-    total = df.count()
-    total_mb = total * est_rows / 1e6
-    n_parts = max(1, int(total_mb / target_partition_mb))
+    if n_partitions is None:
+        # one job: row count + avg payload size in the SAME aggregate
+        # (length() of a binary column is O(1) metadata per row); the
+        # previous count() + limit(1000).collect() pair cost two jobs
+        row = df.select(
+            F.count(F.lit(1)).alias("total"),
+            F.avg(F.length(bytes_col)).alias("avg_n"),
+        ).collect()[0]
+        total, est = row["total"], row["avg_n"] or 1.0
+        total_mb = total * est / 1e6
+        n_partitions = max(1, int(total_mb / target_partition_mb))
 
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
@@ -97,7 +108,7 @@ def extract_features(
             ]
             yield pdf
 
-    return df.repartition(n_parts).mapInPandas(run, schema=out_schema)
+    return df.repartition(n_partitions).mapInPandas(run, schema=out_schema)
 
 
 def frame_sample_plan(

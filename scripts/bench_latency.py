@@ -71,12 +71,18 @@ def main() -> None:
             p if isinstance(p, dict) else json.loads(p.json)
             for p in out["progress"]
         ]
-        # keep batches that actually processed rows
+        # keep batches that actually processed rows; the FIRST batch pays
+        # JIT + codegen + parquet-reader warmup and is reported
+        # separately, not inside the steady-state percentiles
         rows_batches = [p for p in prog if p.get("numInputRows", 0) > 0]
-        trig = [p["durationMs"]["triggerExecution"] / 1000 for p in rows_batches]
+        all_trig = [
+            p["durationMs"]["triggerExecution"] / 1000 for p in rows_batches
+        ]
+        cold = all_trig[0] if all_trig else None
+        trig = all_trig[1:] if len(all_trig) > 1 else all_trig
         add = [
             p["durationMs"].get("addBatch", 0) / 1000 for p in rows_batches
-        ]
+        ][1:]
         applied = sum(r.get("events", 0) for r in out["batch_results"])
         report = {
             "events": N_EVENTS,
@@ -84,6 +90,7 @@ def main() -> None:
             "micro_batches": len(rows_batches),
             "events_per_batch": N_EVENTS // max(1, len(rows_batches)),
             "applied": applied,
+            "cold_first_batch_sec": cold,
             "batch_latency_sec": {
                 "p50": pct(trig, 0.5),
                 "p90": pct(trig, 0.9),
@@ -95,7 +102,13 @@ def main() -> None:
                 "p90": pct(add, 0.9),
             },
             "sustained_events_per_sec": (
-                round(applied / sum(trig), 1) if trig else None
+                round(
+                    (applied - N_EVENTS // max(1, len(rows_batches)))
+                    / sum(trig),
+                    1,
+                )
+                if trig
+                else None
             ),
         }
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -119,13 +132,19 @@ def main() -> None:
             f"| p90 batch latency | {lat['p90']:.2f} s |",
             f"| p99 batch latency | {lat['p99']:.2f} s |",
             f"| max batch latency | {lat['max']:.2f} s |",
-            f"| sustained throughput | "
+            f"| cold first batch (JIT/codegen, excluded above) | "
+            f"{report['cold_first_batch_sec']:.2f} s |",
+            f"| sustained throughput (warm) | "
             f"{report['sustained_events_per_sec']:,.0f} events/s |",
             "",
             "Latency scales with events/batch (batch size is the pacing "
             "knob, `maxFilesPerTrigger`): the merge cost is per-event, the "
             "fixed per-batch floor is the guard pass + bucket-pruned read "
-            "+ atomic commit (~1s on this host).",
+            "+ atomic commit (~1s on this host). Small live batches also "
+            "pay the merge-on-write tax (the touched buckets' stored rows "
+            "rewrite every batch) — that is the latency/throughput trade "
+            "vs. the availableNow drain numbers in BENCH_r*.json, which "
+            "amortize it over 500k-event batches.",
         ]
         with open(os.path.join(REPO, "BENCH", "latency.md"), "w") as f:
             f.write("\n".join(md) + "\n")

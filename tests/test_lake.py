@@ -292,7 +292,10 @@ def test_commit_metadata_scales_with_bucket_count(spark, tmp_path, monkeypatch):
             len(b["files"]) for b in lake.snapshot()["buckets"].values()
         )
         assert n_files >= n_buckets // 2  # real per-bucket layout
-    assert times[1024] < 60.0, times  # gross-regression guard only
+    # gross-regression guard only (~15-30s solo; generous for suite
+    # contention on a shared host — the mechanism assert above is the
+    # real gate)
+    assert times[1024] < 150.0, times
 
 
 def test_tombstone_compaction_below_horizon(spark, tmp_lake_dir):

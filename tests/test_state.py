@@ -35,7 +35,9 @@ def test_bloom_windowed_rebuild_is_bounded():
     t0 = time.monotonic()
     b = LsnBloom.rebuild_from_ranges([[0, 10**9]])
     dt = time.monotonic() - t0
-    assert dt < 1.0, f"windowed rebuild took {dt:.2f}s"
+    # ~60ms solo; generous bound for noisy shared-host runs — the O(hwm)
+    # pathology this guards against took minutes and 80GB
+    assert dt < 5.0, f"windowed rebuild took {dt:.2f}s"
     hwm = 10**9
     assert b.covered_lo == hwm - (1 << 20) + 1
     recent = np.arange(hwm - 1000, hwm + 1, dtype=np.int64)
