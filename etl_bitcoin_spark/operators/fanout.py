@@ -54,6 +54,41 @@ def create_fanout_tables(catalog: LakeCatalog, n_buckets: int = 8) -> None:
     catalog.create_table("lineage", LINEAGE_DDL, ["batch_id"], 1)
 
 
+def fanout_frames(events: DataFrame, batch_id: str) -> dict[str, DataFrame]:
+    """The pure one-pass fan-out transforms (reference neo4j_csv.go:
+    122-155: one input record -> rows in N normalized tables), shared by
+    the catalog pipeline and the oracle-gated query. All four frames are
+    deterministic (edge dedup via groupBy+min, never an arbitrary-row
+    dropDuplicates)."""
+    ev = events
+    return {
+        "turns": ev.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            F.col("lsn"), "op",
+        ),
+        "convs": ev.groupBy("conv_id").agg(
+            F.min("lsn").alias("first_lsn"), F.count("*").alias("n_events")
+        ),
+        "edges": ev.groupBy("conv_id", "turn_idx")
+        .agg(F.min("lsn").alias("lsn"))
+        .select(
+            F.concat_ws(
+                "_", "conv_id", F.col("turn_idx").cast("string")
+            ).alias("edge_id"),
+            "conv_id", "turn_idx", "lsn",
+        ),
+        "lineage": ev.agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.count("*").alias("events"),
+            F.sum((F.col("op") == "I").cast("long")).alias("n_insert"),
+            F.sum((F.col("op") == "U").cast("long")).alias("n_update"),
+            F.sum((F.col("op") == "D").cast("long")).alias("n_delete"),
+            F.min("lsn").alias("lsn_lo"),
+            F.max("lsn").alias("lsn_hi"),
+        ),
+    }
+
+
 def fanout_batch(
     catalog: LakeCatalog, events: DataFrame, batch_id: str
 ) -> dict[str, Any]:
@@ -61,28 +96,9 @@ def fanout_batch(
     atomic catalog transaction. The input is scanned once per output
     table's shuffle — the plans share the scan via Spark's file-source
     cache; no driver-side materialization anywhere."""
-    ev = events
-    turns = ev.select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts",
-        F.col("lsn"), "op",
-    )
-    convs = ev.groupBy("conv_id").agg(
-        F.min("lsn").alias("first_lsn"), F.count("*").alias("n_events")
-    )
-    edges = ev.select(
-        F.concat_ws("_", "conv_id", F.col("turn_idx").cast("string")).alias(
-            "edge_id"
-        ),
-        "conv_id", "turn_idx", "lsn",
-    ).dropDuplicates(["edge_id"])
-    lineage = ev.agg(
-        F.lit(batch_id).alias("batch_id"),
-        F.count("*").alias("events"),
-        F.sum((F.col("op") == "I").cast("long")).alias("n_insert"),
-        F.sum((F.col("op") == "U").cast("long")).alias("n_update"),
-        F.sum((F.col("op") == "D").cast("long")).alias("n_delete"),
-        F.min("lsn").alias("lsn_lo"),
-        F.max("lsn").alias("lsn_hi"),
+    frames = fanout_frames(events, batch_id)
+    turns, convs, edges, lineage = (
+        frames["turns"], frames["convs"], frames["edges"], frames["lineage"]
     )
 
     def prep(name: str, df: DataFrame, key_cols: list[str]):

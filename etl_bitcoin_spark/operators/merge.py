@@ -228,6 +228,14 @@ def apply_batch(
     range dedup on lsn; in-batch duplicate drop), batch LWW summary,
     bucket-pruned read of affected stored state, tombstone+LWW merge,
     atomic bucket-replacing commit carrying lineage.
+
+    Multi-writer note: concurrent writers with interleaved lsn ranges
+    MUST pass an ``already_applied_filter`` (state.ExactlyOnceFilter) —
+    the default ordered-replay fast path (``lsn > hwm``) assumes batches
+    arrive in lsn order and would misclassify a slower writer's lower
+    lsns as duplicates once a faster writer advances the HWM. The commit
+    itself is CAS-protected: disjoint-bucket writers rebase, overlapping
+    writers get CommitConflict and must recompute.
     """
     snap = lake.snapshot()
     if batch_id in snap["applied_batch_ids"]:
@@ -322,7 +330,9 @@ def apply_batch(
             ]
         else:
             affected = sorted(rng["bks"])
-        stored = lake.read(buckets=affected)
+        # Pin the stored read to the snapshot version the guard saw, so
+        # commit's base_version check is exact under concurrent writers.
+        stored = lake.read(version=snap["version"], buckets=affected)
         merged = merge_batch_direct(stored, ev, n_buckets).withColumn(
             BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)
         )
@@ -333,6 +343,10 @@ def apply_batch(
             lsn_range=None if sub_ranges is not None else (lo, hi),
             lsn_ranges=sub_ranges,
             metrics={"events": n, "buckets_touched": len(affected)},
+            # content was computed against the snapshot read above —
+            # a concurrent commit to any affected bucket must conflict,
+            # disjoint-bucket writers rebase cleanly
+            base_version=snap["version"],
         )
         return {
             "applied": ok,

@@ -202,8 +202,44 @@ def q_cdc_salted_distribution(spark, sf_dir):
     )
 
 
+def q_cdc_fanout_summary(spark, sf_dir):
+    """One-pass multi-table fan-out (reference neo4j_csv.go:122-155,
+    AddBlockHeader/AddTransaction fanning one record into N tables):
+    the same pure transforms the catalog pipeline commits atomically
+    (operators/fanout.fanout_frames), summarized per output table so the
+    whole dataflow sits under the oracle gate."""
+    from ..operators.fanout import fanout_frames
+
+    b = derived_binlog(spark, sf_dir)
+    fr = fanout_frames(b, "gate")
+    turns = fr["turns"].agg(
+        F.lit("turns").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum("lsn").alias("metric"),
+    )
+    convs = fr["convs"].agg(
+        F.lit("convs").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum("n_events").alias("metric"),
+    )
+    edges = fr["edges"].agg(
+        F.lit("edges").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum("lsn").alias("metric"),
+    )
+    lineage = fr["lineage"].select(
+        F.lit("lineage").alias("tbl"),
+        F.lit(1).cast("long").alias("n_rows"),
+        (F.col("n_insert") + F.col("n_update") + F.col("n_delete")).alias(
+            "metric"
+        ),
+    )
+    return turns.unionByName(convs).unionByName(edges).unionByName(lineage)
+
+
 QUERIES = {
     "cdc_binlog_derive": q_cdc_binlog_derive,
+    "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
     "cdc_lww_tiebreak": q_cdc_lww_tiebreak,
     "cdc_dedup_lsn": q_cdc_dedup_lsn,
@@ -219,6 +255,33 @@ ORACLES = {
     "cdc_binlog_derive": f"""
 SELECT lsn, op, conv_id, turn_idx, role, text, tool, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
 FROM ({_BINLOG_SQL})
+""",
+    "cdc_fanout_summary": f"""
+WITH binlog AS ({_BINLOG_SQL}),
+turns AS (
+  SELECT 'turns' AS tbl, count(*) AS n_rows,
+         CAST(sum(lsn) AS BIGINT) AS metric
+  FROM binlog
+),
+convs AS (
+  SELECT 'convs' AS tbl, count(*) AS n_rows,
+         CAST(sum(cnt) AS BIGINT) AS metric
+  FROM (SELECT conv_id, count(*) AS cnt FROM binlog GROUP BY conv_id)
+),
+edges AS (
+  SELECT 'edges' AS tbl, count(*) AS n_rows,
+         CAST(sum(lsn_min) AS BIGINT) AS metric
+  FROM (SELECT conv_id, turn_idx, min(lsn) AS lsn_min
+        FROM binlog GROUP BY conv_id, turn_idx)
+),
+lin AS (
+  SELECT 'lineage' AS tbl, CAST(1 AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN op IN ('I','U','D') THEN 1 ELSE 0 END)
+              AS BIGINT) AS metric
+  FROM binlog
+)
+SELECT * FROM turns UNION ALL SELECT * FROM convs
+UNION ALL SELECT * FROM edges UNION ALL SELECT * FROM lin
 """,
     "cdc_lww_apply": _LWW_SQL,
     "cdc_lww_tiebreak": f"""

@@ -65,3 +65,26 @@ def conversation_progress(stream_df):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_op_counts(
+    stream_df, window_dur: str = "1 minute", watermark: str = "2 minutes"
+):
+    """Event-time windowed aggregation with a watermark — the standard
+    late-data machinery (Structured Streaming's windowed aggs): per
+    tumbling event-time window, per op, the event count. The watermark
+    bounds state (windows older than max(ts) - watermark finalize and
+    evict) and defines the late-event drop horizon; append-mode output
+    emits each window exactly once, when it closes.
+
+    At 10^10 events this is the monitoring-plane companion to the merge
+    path (rates per op per minute), with state bounded by
+    (#open windows x #ops), independent of stream length."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_dur).alias("win"), "op")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "op", "n")
+    )

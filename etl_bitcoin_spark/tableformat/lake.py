@@ -125,10 +125,38 @@ class LakeTable:
         )
         _atomic_write(os.path.join(self.manifest_dir, "_latest"), name)
 
+    def _claim_version(self, manifest: dict[str, Any]) -> bool:
+        """Multi-writer CAS: atomically create v{N}.json via os.link
+        (create-if-absent on one filesystem). Returns False if another
+        writer claimed version N first — the caller rebases and retries.
+        ``_latest`` stays a best-effort hint; the authoritative latest is
+        max(versions()) (see snapshot), so a stale hint can never roll a
+        reader back."""
+        name = f"v{manifest['version']:08d}.json"
+        path = os.path.join(self.manifest_dir, name)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest, indent=1))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        os.remove(tmp)
+        _atomic_write(os.path.join(self.manifest_dir, "_latest"), name)
+        return True
+
     def snapshot(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
-            with open(os.path.join(self.manifest_dir, "_latest")) as f:
-                name = f.read().strip()
+            # Authoritative latest = highest committed version on disk.
+            # (The _latest pointer is only a hint: under concurrent
+            # writers it can briefly lag or regress.)
+            vs = self.versions()
+            if not vs:
+                raise FileNotFoundError(f"no manifests under {self.manifest_dir}")
+            name = f"v{vs[-1]:08d}.json"
         else:
             name = f"v{version:08d}.json"
         with open(os.path.join(self.manifest_dir, name)) as f:
@@ -189,6 +217,8 @@ class LakeTable:
         metrics: dict[str, Any] | None = None,
         lsn_ranges: list[list[int]] | None = None,
         mode: str = "replace",
+        base_version: int | None = None,
+        max_retries: int = 5,
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -201,14 +231,27 @@ class LakeTable:
         are ADDED to their buckets' file lists and nothing is replaced —
         pure metadata merge, the scalable path for append-mostly fan-out
         tables (event nodes, edges, lineage). ``replaced_buckets`` must
-        be empty in append mode."""
+        be empty in append mode.
+
+        **Multi-writer protocol** (Iceberg-style optimistic): data files
+        stage once; the manifest publish is a CAS on the version number.
+        Losing the race triggers a REBASE: if no bucket this commit
+        touches changed since ``base_version`` (the snapshot the caller
+        computed its content against — pass it for exactness; defaults
+        to the snapshot at commit entry), the manifest is rebuilt on the
+        winner's snapshot and re-claimed; otherwise ``CommitConflict``
+        is raised and the caller must recompute its merge."""
         if mode == "append" and replaced_buckets:
             raise ValueError("append mode cannot replace buckets")
         prev = self.snapshot()
         if batch_id in prev["applied_batch_ids"]:
             return False
-        version = prev["version"] + 1
-        out_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
+        # Staging dir is version-independent (unique suffix): a rebase
+        # publishes the same files under a later version.
+        out_dir = os.path.join(
+            self.data_dir,
+            f"commit-{prev['version'] + 1:08d}-{uuid.uuid4().hex[:8]}",
+        )
         # Per-bucket row counts ride along with the write itself via
         # Observation metrics — no parquet-footer re-reads, no second
         # job. Above 128 buckets the N conditional sums get expensive
@@ -241,12 +284,6 @@ class LakeTable:
             obs_rows = {
                 str(b): int(got[f"b{b}"] or 0) for b in range(n_buckets)
             }
-        # Harvest per-bucket file lists + stats from parquet footers
-        # (driver-side, no second Spark job; footers read concurrently —
-        # serial reads cost ~2s per commit at 64 buckets).
-        buckets = dict(prev["buckets"])
-        for b in replaced_buckets:
-            buckets.pop(str(b), None)
         rel = os.path.relpath(out_dir, self.root)
         work = []
         for entry in os.listdir(out_dir):
@@ -307,74 +344,102 @@ class LakeTable:
                 info = per_bucket.setdefault(r["b"], {"files": [], "rows": 0})
                 info["files"].append(r["relpath"])
                 info["rows"] += int(r["rows"])
-        for b, info in per_bucket.items():
+        for info in per_bucket.values():
             info["files"].sort()
-            if mode == "append":
-                if info["rows"] > 0:
-                    prev_b = buckets.get(b, {"files": [], "rows": 0})
-                    buckets[b] = {
-                        "files": sorted(prev_b["files"] + info["files"]),
-                        "rows": prev_b["rows"] + info["rows"],
-                    }
-            elif info["rows"] > 0:
-                buckets[b] = info
-            elif b in buckets:
-                del buckets[b]
-        lineage = dict(prev["lineage"])
-        # Applied-lsn bookkeeping accepts either one dense span or the
-        # exact sub-ranges of a sparse (late/out-of-order) batch —
-        # recording a sparse batch as its (min,max) span would mark the
-        # gap lsns applied and silently drop their later delivery.
-        new_ranges = [list(r) for r in (lsn_ranges or [])]
-        if lsn_range is not None:
-            new_ranges.append(list(lsn_range))
-        if new_ranges:
-            lineage["hwm"] = max(
-                lineage["hwm"], max(r[1] for r in new_ranges)
-            )
-            lineage["applied_ranges"] = _merge_ranges(
-                lineage["applied_ranges"] + new_ranges
-            )
-        lineage["rows_total"] = sum(b["rows"] for b in buckets.values())
-        manifest = {
-            "version": version,
-            "parent": prev["version"],
-            "schema_ddl": prev["schema_ddl"],
-            "key_cols": prev["key_cols"],
-            "n_buckets": prev["n_buckets"],
-            "batch_id": batch_id,
-            "applied_batch_ids": (prev["applied_batch_ids"] + [batch_id])[
-                -MAX_APPLIED_BATCH_IDS:
-            ],
-            "committed_at": time.time(),
-            "buckets": buckets,
-            "lineage": lineage,
-            "metrics": metrics or {},
-        }
-        # Last-moment conflict check (single-writer model; belt and braces).
-        if self.snapshot()["version"] != prev["version"]:
-            raise CommitConflict(f"concurrent commit beat version {version}")
-        self._publish(manifest)
-        return True
+
+        # ----- optimistic publish: rebase-and-retry on lost CAS races.
+        # ``base`` = the snapshot this commit's CONTENT was computed
+        # against; any concurrent change to a bucket we touch since then
+        # invalidates the content (conflict), disjoint changes rebase.
+        base = prev if base_version is None else self.snapshot(base_version)
+        touched = {str(b) for b in replaced_buckets} | set(per_bucket)
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if batch_id in cur["applied_batch_ids"]:
+                return False
+            if cur["version"] != base["version"]:
+                for b in touched:
+                    if cur["buckets"].get(b) != base["buckets"].get(b):
+                        raise CommitConflict(
+                            f"bucket {b} changed concurrently "
+                            f"(v{base['version']} -> v{cur['version']}); "
+                            "recompute the merge against the new snapshot"
+                        )
+            buckets = dict(cur["buckets"])
+            for b in replaced_buckets:
+                buckets.pop(str(b), None)
+            for b, info in per_bucket.items():
+                if mode == "append":
+                    if info["rows"] > 0:
+                        prev_b = buckets.get(b, {"files": [], "rows": 0})
+                        buckets[b] = {
+                            "files": sorted(prev_b["files"] + info["files"]),
+                            "rows": prev_b["rows"] + info["rows"],
+                        }
+                elif info["rows"] > 0:
+                    buckets[b] = dict(info)
+                elif b in buckets:
+                    del buckets[b]
+            lineage = dict(cur["lineage"])
+            # Applied-lsn bookkeeping accepts either one dense span or
+            # the exact sub-ranges of a sparse (late/out-of-order) batch
+            # — recording a sparse batch as its (min,max) span would
+            # mark the gap lsns applied and silently drop their later
+            # delivery.
+            new_ranges = [list(r) for r in (lsn_ranges or [])]
+            if lsn_range is not None:
+                new_ranges.append(list(lsn_range))
+            if new_ranges:
+                lineage["hwm"] = max(
+                    lineage["hwm"], max(r[1] for r in new_ranges)
+                )
+                lineage["applied_ranges"] = _merge_ranges(
+                    lineage["applied_ranges"] + new_ranges
+                )
+            lineage["rows_total"] = sum(b["rows"] for b in buckets.values())
+            manifest = {
+                "version": cur["version"] + 1,
+                "parent": cur["version"],
+                "schema_ddl": cur["schema_ddl"],
+                "key_cols": cur["key_cols"],
+                "n_buckets": cur["n_buckets"],
+                "batch_id": batch_id,
+                "applied_batch_ids": (cur["applied_batch_ids"] + [batch_id])[
+                    -MAX_APPLIED_BATCH_IDS:
+                ],
+                "committed_at": time.time(),
+                "buckets": buckets,
+                "lineage": lineage,
+                "metrics": metrics or {},
+            }
+            if self._claim_version(manifest):
+                return True
+        raise CommitConflict(
+            f"lost {max_retries} CAS races publishing batch {batch_id}"
+        )
 
     def evolve_schema(self, new_ddl: str, batch_id: str) -> bool:
         """Additive schema evolution: publish a metadata-only snapshot with
         the widened DDL. Existing files lack the new columns; ``read``
-        backfills them as null via the explicit read schema."""
-        prev = self.snapshot()
-        if batch_id in prev["applied_batch_ids"]:
-            return False
-        m = dict(prev)
-        m["version"] = prev["version"] + 1
-        m["parent"] = prev["version"]
-        m["schema_ddl"] = new_ddl
-        m["batch_id"] = batch_id
-        m["applied_batch_ids"] = (prev["applied_batch_ids"] + [batch_id])[
-            -MAX_APPLIED_BATCH_IDS:
-        ]
-        m["committed_at"] = time.time()
-        self._publish(m)
-        return True
+        backfills them as null via the explicit read schema. CAS-safe
+        under concurrent writers (metadata-only, so a lost race simply
+        rebases on the winner)."""
+        for _attempt in range(8):
+            prev = self.snapshot()
+            if batch_id in prev["applied_batch_ids"]:
+                return False
+            m = dict(prev)
+            m["version"] = prev["version"] + 1
+            m["parent"] = prev["version"]
+            m["schema_ddl"] = new_ddl
+            m["batch_id"] = batch_id
+            m["applied_batch_ids"] = (prev["applied_batch_ids"] + [batch_id])[
+                -MAX_APPLIED_BATCH_IDS:
+            ]
+            m["committed_at"] = time.time()
+            if self._claim_version(m):
+                return True
+        raise CommitConflict(f"lost 8 CAS races evolving schema ({batch_id})")
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change feed between two snapshots (a downstream-consumable CDC

@@ -213,3 +213,53 @@ def test_rate_source_pull_tailer_matches_oracle(spark, tmp_path):
     b = lake2.read(user_cols=True).orderBy("conv_id", "turn_idx").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) > 0
+
+
+def test_windowed_agg_with_watermark_matches_batch(spark, tmp_path, binlog_pdf):
+    """Event-time windowed counts under a watermark: every window the
+    stream FINALIZES (append mode emits a window exactly once, when the
+    watermark passes it) must equal the batch computation of the same
+    window over the full data."""
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.operators.merge import BINLOG_DDL
+    from etl_bitcoin_spark.streaming.stateful import windowed_op_counts
+
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    stream = (
+        spark.readStream.schema(BINLOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wal)
+    )
+    q = (
+        windowed_op_counts(stream, "1 minute", "2 minutes")
+        .writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win_start, r.op): r.n
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    assert got, "watermark must have closed at least one window"
+    batch = spark.read.schema(BINLOG_DDL).parquet(wal)
+    want_all = {
+        (r.win_start, r.op): r.n
+        for r in (
+            batch.groupBy(F.window("ts", "1 minute").alias("w"), "op")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("win_start"), "op", "n")
+            .collect()
+        )
+    }
+    for key, n in got.items():
+        assert want_all[key] == n, f"window {key}: stream {n} != batch {want_all[key]}"
+    # append mode: no window may be emitted twice
+    rows = spark.sql("SELECT win_start, op, count(*) c FROM winagg "
+                     "GROUP BY win_start, op HAVING count(*) > 1").collect()
+    assert rows == []
