@@ -26,8 +26,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 P = 2_147_483_647  # 2^31 - 1
-MH_A = [2, 3, 5, 7, 11, 13, 17, 19]
-MH_B = [1, 2, 3, 4, 5, 6, 7, 8]
+MH_A = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+        59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113,
+        127, 131]
+MH_B = list(range(1, 33))
 STOPWORDS = ["the", "a", "over", "data", "value"]
 
 H64_SPARK = "cast(conv(substr(md5({col}),1,12),16,10) as bigint)"
@@ -209,17 +211,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 # -------------------------------------------------- dedup: MinHash + LSH
-def _minhash_sigs(shingled, with_sizes: bool = False):
-    """8 minhash values per doc; with_sizes=True rides the per-doc
-    distinct-shingle count on the SAME aggregation (no second pass over
-    the shingle index for the Jaccard denominator)."""
+def _minhash_sigs(shingled, with_sizes: bool = False, n_hashes: int = 8):
+    """``n_hashes`` minhash values per doc (universal-hash family over
+    the portable h48); with_sizes=True rides the per-doc distinct-shingle
+    count on the SAME aggregation (no second pass over the shingle index
+    for the Jaccard denominator)."""
+    assert n_hashes <= len(MH_A)
     hp = (
         F.expr(H64_SPARK.format(col="shingle")) % F.lit(P)
     ).alias("hp")
     h = shingled.select("doc_id", hp)
     aggs = [
         F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(zip(MH_A, MH_B))
+        for i, (a, b) in enumerate(zip(MH_A[:n_hashes], MH_B[:n_hashes]))
     ]
     if with_sizes:
         aggs.append(F.count("*").alias("sz"))
@@ -515,7 +519,49 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e, q, k=3, n_centroids=16, nprobe=2, seed=42, round_to=6)
 
 
-# ---------------------------------------------------------- text analysis
+# ------------------------------------------------- curation pipeline (E2E)
+def q_curation_pipeline(spark, sf_dir):
+    """The end-to-end training-data curation shape in ONE plan:
+    quality scoring (token + stopword stats, pure JVM array expressions
+    — no explode shuffle) -> quality + language filters -> exact dedup
+    (content groupBy keeps the lowest doc_id) -> per-source corpus
+    stats. Two shuffles total (dedup groupBy, stats groupBy); every
+    filter is pushed below them. This is the plan a 100 TB curation run
+    ships — the standalone gated operators are its unit tests."""
+    d = _docs(spark, sf_dir)
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang",
+            "source", "n_chars",
+        )
+    )
+    words = F.split("text", " ")
+    stop_arr = ", ".join(repr(s) for s in STOPWORDS)
+    scored = corpus.select(
+        "doc_id", "text", "lang", "source",
+        F.size(words).alias("n_tok"),
+        F.size(
+            F.expr(f"filter(split(text, ' '), w -> w IN ({stop_arr}))")
+        ).alias("n_stop"),
+    )
+    kept = scored.filter(
+        (F.col("lang") == "en")
+        & (F.col("n_tok") >= 5)
+        & (F.col("n_stop") * 2 <= F.col("n_tok"))
+    )
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("source").alias("source"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dups_removed"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+    )
+
+
 def q_text_token_count(spark, sf_dir):
     """Whitespace + BPE-ish regex token counts."""
     d = _docs(spark, sf_dir)
@@ -601,6 +647,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "curation_pipeline": q_curation_pipeline,
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
@@ -813,6 +860,33 @@ j AS (
   FROM a JOIN b USING (sig) WHERE va < vb
 )
 SELECT va, vb, cos FROM j WHERE cos >= 0.999
+""",
+    "curation_pipeline": f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000, text, lang, source, n_chars FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({', '.join(repr(s) for s in STOPWORDS)}))) AS n_stop
+  FROM corpus
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND n_tok >= 5 AND n_stop * 2 <= n_tok
+),
+deduped AS (
+  SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies,
+         min(source) AS source, min(n_tok) AS n_tok
+  FROM kept GROUP BY text
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_dups_removed,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok
+FROM deduped GROUP BY source
 """,
     "text_token_count": r"""
 SELECT doc_id,

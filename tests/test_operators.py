@@ -242,3 +242,44 @@ def test_embedding_near_dup_candidates_are_content_based(spark):
     planted = {(r.va, r.vb) for r in rows if r.vb == r.va + 10000}
     assert len(planted) == n_vecs, "every identical copy shares its bucket"
     assert all(r.cos >= 0.999 for r in rows)
+
+
+# --------------------------------------------- threshold-tuned MinHash-LSH
+def test_tune_bands_s_curve():
+    from etl_bitcoin_spark.operators.dedup import s_curve_threshold, tune_bands
+
+    # high threshold -> few bands, many rows; low threshold -> opposite
+    b_hi, r_hi = tune_bands(16, 0.9)
+    b_lo, r_lo = tune_bands(16, 0.2)
+    assert b_hi * r_hi == 16 and b_lo * r_lo == 16
+    assert r_hi > r_lo and b_lo > b_hi
+    assert abs(s_curve_threshold(b_hi, r_hi) - 0.9) <= min(
+        abs(s_curve_threshold(b, 16 // b) - 0.9)
+        for b in (1, 2, 4, 8, 16)
+    ) + 1e-9
+
+
+def test_minhash_lsh_pairs_finds_planted_mutations(spark):
+    """Auto-tuned LSH at threshold 0.5 finds the planted mutated copies
+    (true Jaccard ~0.85+) with high recall and verifies exactly."""
+    from etl_bitcoin_spark.operators.dedup import minhash_lsh_pairs
+    from etl_bitcoin_spark.plans.pipeline_queries import (
+        _docs_with_mutated_copies,
+    )
+
+    d = _docs_with_mutated_copies(spark, SF)
+    pairs = minhash_lsh_pairs(d, threshold=0.5, n_hashes=16).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    planted = {(i, i + 1000) for i in range(n_docs)}
+    recall = len(found & planted) / n_docs
+    assert recall >= 0.9, f"recall {recall}"
+    assert all(r.jaccard >= 0.5 for r in pairs)
+    # candidates-only mode is a superset of the verified pairs
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            d, threshold=0.5, n_hashes=16, verify=False
+        ).collect()
+    }
+    assert found <= cand
