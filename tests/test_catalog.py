@@ -124,3 +124,48 @@ def test_catalog_pinned_versions_are_stable(spark, cat):
     t.commit(rogue, list(range(4)), "rogue-commit")
     assert t.read(user_cols=True).count() == 1  # table head moved
     assert cat.read("turns", user_cols=True).count() == n0  # catalog stable
+
+
+def test_streaming_fanout_tailer_exactly_once(spark, tmp_path):
+    """Live multi-table fan-out: a WAL drained through FanoutTailer
+    lands every event exactly once across all four tables, restart
+    included (second drain over the same checkpoint is a no-op)."""
+    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, write_segments
+    from etl_bitcoin_spark.operators.fanout import FanoutTailer
+
+    pdf = generate_binlog(
+        BinlogSpec(seed=5, n_convs=20, n_events=400, n_segments=4,
+                   dup_rate=0.0)
+    )
+    wal = str(tmp_path / "wal")
+    write_segments(pdf, wal)
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    create_fanout_tables(cat, n_buckets=4)
+    tailer = FanoutTailer(spark, wal, cat, str(tmp_path / "ckpt"),
+                          max_files_per_trigger=2)
+    results = tailer.run_available()
+    assert all(r["applied"] for r in results)
+
+    turns = cat.read("turns", user_cols=True)
+    assert turns.count() == 400
+    assert turns.select("lsn").distinct().count() == 400
+    lin = cat.read("lineage", user_cols=True).orderBy("lsn_lo").collect()
+    assert sum(r.events for r in lin) == 400
+    # per-batch conv nodes: dedup within batch only (reference semantics)
+    n_convs_rows = cat.read("convs", user_cols=True).count()
+    assert n_convs_rows >= 20
+
+    # restart over the same checkpoint: nothing re-applied
+    tailer2 = FanoutTailer(spark, wal, cat, str(tmp_path / "ckpt"),
+                           max_files_per_trigger=2)
+    tailer2.run_available()
+    assert cat.read("turns", user_cols=True).count() == 400
+
+    # redelivered batch under the same ids (crash-replay analog): no-op
+    r = fanout_batch(
+        cat,
+        spark.read.parquet(wal),
+        f"fanout-{tailer.ns}-0",
+    )
+    assert not r["applied"]
+    assert cat.read("turns", user_cols=True).count() == 400
