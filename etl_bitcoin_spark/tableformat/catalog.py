@@ -172,3 +172,36 @@ class LakeCatalog:
             if table.snapshot(v).get("batch_id") == batch_id:
                 return v
         return None
+
+    # ----------------------------------------------------------- maintenance
+    def versions(self) -> list[int]:
+        out = []
+        for n in os.listdir(self.catalog_dir):
+            if n.startswith("v") and n.endswith(".json"):
+                out.append(int(n[1:-5]))
+        return sorted(out)
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, Any]:
+        """Catalog-coordinated expiry: trim catalog snapshots to the last
+        ``keep_last``, then expire each member table while PINNING every
+        table version any retained catalog snapshot still references —
+        a consistent multi-table time-travel window survives, everything
+        older is GC'd."""
+        versions = self.versions()
+        keep = versions[-keep_last:]
+        removed = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.catalog_dir, f"v{v:08d}.json"))
+                removed += 1
+        pinned: dict[str, set[int]] = {}
+        for v in keep:
+            m = self.snapshot(v)
+            for name, tv in m["tables"].items():
+                pinned.setdefault(name, set()).add(tv)
+        table_stats = {}
+        for name, pins in pinned.items():
+            table_stats[name] = self.table(name).expire_snapshots(
+                keep_last=1, pinned_versions=pins
+            )
+        return {"catalog_snapshots_removed": removed, "tables": table_stats}

@@ -502,17 +502,25 @@ class LakeTable:
         )
 
     # ---------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+    def expire_snapshots(
+        self,
+        keep_last: int = 10,
+        pinned_versions: set[int] | None = None,
+    ) -> dict[str, int]:
         """Retire old snapshots and delete data files no retained
         snapshot references (Iceberg-style expire + orphan GC). The
         latest snapshot is never touched; the operation is metadata-first
         (manifests removed only after their exclusive files are gone), so
         a crash mid-expiry leaves a readable table and re-running
-        completes the cleanup."""
+        completes the cleanup. ``pinned_versions`` (e.g. versions a
+        LakeCatalog snapshot still references) always survive regardless
+        of ``keep_last``."""
         versions = self.versions()
-        if len(versions) <= keep_last:
+        keep = set(versions[-keep_last:]) | {
+            v for v in (pinned_versions or set()) if v in versions
+        }
+        if len(versions) <= len(keep):
             return {"snapshots_removed": 0, "files_removed": 0}
-        keep = set(versions[-keep_last:])
         live_files: set[str] = set()
         for v in keep:
             m = self.snapshot(v)

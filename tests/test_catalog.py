@@ -169,3 +169,29 @@ def test_streaming_fanout_tailer_exactly_once(spark, tmp_path):
     )
     assert not r["applied"]
     assert cat.read("turns", user_cols=True).count() == 400
+
+
+def test_catalog_expiry_pins_referenced_table_versions(spark, cat):
+    """Catalog-coordinated GC: every table version a retained catalog
+    snapshot references must survive table expiry; everything older is
+    removed, and catalog time travel within the retained window still
+    reads consistent multi-table states."""
+    for i in range(5):
+        ev = _events(spark, [(i + 1, "I", f"c{i}", 0, f"t{i}", i + 1)])
+        assert fanout_batch(cat, ev, f"b{i}")["applied"]
+    n_cat_versions = len(cat.versions())
+    res = cat.expire_snapshots(keep_last=2)
+    assert res["catalog_snapshots_removed"] == n_cat_versions - 2
+    assert len(cat.versions()) == 2
+    # latest catalog read intact
+    assert cat.read("turns", user_cols=True).count() == 5
+    # time travel to the OLDER retained catalog snapshot still works for
+    # every table (their pinned versions survived table GC)
+    v_old = cat.versions()[0]
+    for name in ("turns", "convs", "edges", "lineage"):
+        assert cat.read(name, catalog_version=v_old).count() >= 0
+    assert cat.read("turns", catalog_version=v_old, user_cols=True).count() == 4
+    # table manifests older than any pin are gone
+    t = cat.table("turns")
+    pins = {cat.snapshot(v)["tables"]["turns"] for v in cat.versions()}
+    assert set(t.versions()) <= pins | {max(t.versions())}
