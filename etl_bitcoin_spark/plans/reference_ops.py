@@ -103,6 +103,15 @@ def q_t5_nested_explode(spark, sf_dir):
 
 # --- T6: projection + synthesized keys (nodes.go:70-76, outputID) ----------
 def q_t6_synth_key_projection(spark, sf_dir):
+    """T6: projection with synthesized keys (reference nodes.go:72
+    outputID = txid+"_"+n). DECISION on the reference quirk at
+    relationships.go:77 (in-edge start key concatenates txid+itoa(vout)
+    with NO separator): this engine uses the separator form uniformly.
+    The unseparated form is ambiguous — ("a_1", 2) and ("a", 12) both
+    yield "a_12"-style collisions — so preserving it would propagate a
+    latent key-collision bug into a keyed lake table. Documented here
+    and in operators/fanout.py (which synthesizes edge ids the same
+    way)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(F.col("l_orderkey") <= 200).select(
         F.concat(
