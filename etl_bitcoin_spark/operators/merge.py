@@ -104,18 +104,25 @@ def lww_batch_summary(events: DataFrame) -> DataFrame:
     )
 
 
-def _resolve_union(unioned: DataFrame, n_buckets: int | None) -> DataFrame:
+def _resolve_union(
+    unioned: DataFrame,
+    n_buckets: int | None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """Tombstone-aware LWW resolution over a union of candidate rows
-    (stored winners, stored tombstones, change events). Per key:
-    last_d = max lsn among deleted rows; winner = LWW(ts, lsn) among
-    non-deleted rows with lsn > last_d; emit winner + one tombstone row.
-    One key-partitioned window pass — a single shuffle."""
+    (stored winners, stored tombstones, change events, merge-on-read
+    delta rows). Per key: last_d = max lsn among deleted rows; winner =
+    LWW(ts, lsn) among non-deleted rows with lsn > last_d; emit winner +
+    one tombstone row. One key-partitioned window pass — a single
+    shuffle. ``key_cols`` defaults to the transcripts key; tables
+    without a ``ts`` column fall back to lsn-only LWW ordering."""
+    keys = key_cols or KEY_COLS
     if n_buckets is not None:
         # Co-partition with the bucket layout: Spark's hash partitioner
         # IS pmod(hash(keys), N) = bucket_expr, so the window below
         # reuses this exchange and the partitionBy-bucket write emits
         # exactly ONE file per bucket.
-        unioned = unioned.repartition(n_buckets, *KEY_COLS)
+        unioned = unioned.repartition(n_buckets, *keys)
     # ONE sort for the whole resolution: the ranking window sorts by
     # (keys, deleted, ts desc, lsn desc); every other window is an
     # UNORDERED whole-partition aggregate whose required ordering
@@ -125,10 +132,12 @@ def _resolve_union(unioned: DataFrame, n_buckets: int | None) -> DataFrame:
     # frame per batch.) Winner/tombstone selection happens by comparing
     # each row's rank against the per-key min rank of its class —
     # unordered min, not a second ordering.
-    w = Window.partitionBy(*KEY_COLS)
-    w_ord = w.orderBy(
-        F.col(DELETED_COL).asc(), F.col("ts").desc(), F.col(LSN_COL).desc()
-    )
+    w = Window.partitionBy(*keys)
+    order = [F.col(DELETED_COL).asc()]
+    if "ts" in unioned.columns:
+        order.append(F.col("ts").desc())
+    order.append(F.col(LSN_COL).desc())
+    w_ord = w.orderBy(*order)
     df = unioned.withColumn("__rn", F.row_number().over(w_ord))
     t = F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL))).over(w)
     df = df.withColumn("__t", t)
@@ -146,6 +155,17 @@ def _resolve_union(unioned: DataFrame, n_buckets: int | None) -> DataFrame:
     )
 
 
+def events_as_rows(events: DataFrame) -> DataFrame:
+    """Project change events into stored-row form (key, values, __lsn,
+    __deleted): D events become tombstone rows, I/U keep their values."""
+    return events.select(
+        *KEY_COLS,
+        *VALUE_COLS,
+        F.col("lsn").alias(LSN_COL),
+        (F.col("op") == F.lit("D")).alias(DELETED_COL),
+    )
+
+
 def merge_batch_direct(
     stored: DataFrame, events: DataFrame, n_buckets: int | None = None
 ) -> DataFrame:
@@ -155,14 +175,8 @@ def merge_batch_direct(
     shuffle. Exactly the algebra of lww_batch_summary +
     merge_summary_into, minus a stage barrier and a second pass of the
     batch through the exchange."""
-    ev_rows = events.select(
-        *KEY_COLS,
-        *VALUE_COLS,
-        F.col("lsn").alias(LSN_COL),
-        (F.col("op") == F.lit("D")).alias(DELETED_COL),
-    )
     st_rows = stored.select(*KEY_COLS, *VALUE_COLS, LSN_COL, DELETED_COL)
-    return _resolve_union(st_rows.unionByName(ev_rows), n_buckets)
+    return _resolve_union(st_rows.unionByName(events_as_rows(events)), n_buckets)
 
 
 def merge_summary_into(
@@ -214,6 +228,47 @@ def _value_types(stored: DataFrame) -> list[tuple[str, str]]:
     return [(c, by_name[c]) for c in VALUE_COLS]
 
 
+def sparse_lsn_islands(distinct_lsns: DataFrame) -> list[list[int]]:
+    """Coalesce a frame of DISTINCT lsns into sorted [lo, hi] islands —
+    DISTRIBUTED: lsns range-partition, each partition finds its own
+    islands with vectorized numpy diffs inside mapInPandas (batches
+    arrive partition-ordered after sortWithinPartitions), and the
+    driver merges only the O(#islands + #partitions) boundary ranges.
+    No global single-partition Window anywhere: a 10^7-row late
+    backfill delivered out of order coalesces across the cluster, not
+    through one task."""
+    import numpy as np
+    import pandas as pd
+
+    sc = distinct_lsns.sparkSession.sparkContext
+    parts = max(2, int(sc.defaultParallelism))
+    d = distinct_lsns.repartitionByRange(parts, "lsn").sortWithinPartitions(
+        "lsn"
+    )
+
+    def _islands(batches):
+        vals: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf):
+                vals.append(pdf["lsn"].to_numpy(dtype=np.int64))
+        if not vals:
+            yield pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                "hi": pd.Series([], dtype="int64")})
+            return
+        a = np.concatenate(vals)
+        # partition-local gaps: island starts where the sorted sequence
+        # jumps by more than 1
+        brk = np.flatnonzero(np.diff(a) != 1)
+        lo = np.concatenate(([a[0]], a[brk + 1]))
+        hi = np.concatenate((a[brk], [a[-1]]))
+        yield pd.DataFrame({"lo": lo, "hi": hi})
+
+    rows = d.mapInPandas(_islands, "lo long, hi long").collect()
+    from ..tableformat.lake import _merge_ranges
+
+    return _merge_ranges([[int(r["lo"]), int(r["hi"])] for r in rows])
+
+
 def apply_batch(
     lake: LakeTable,
     events: DataFrame,
@@ -221,6 +276,7 @@ def apply_batch(
     already_applied_filter=None,
     assume_all_buckets: bool = False,
     lsn_range_hint: tuple[int, int] | None = None,
+    merge_mode: str = "write",
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the lake table.
 
@@ -228,6 +284,15 @@ def apply_batch(
     range dedup on lsn; in-batch duplicate drop), batch LWW summary,
     bucket-pruned read of affected stored state, tombstone+LWW merge,
     atomic bucket-replacing commit carrying lineage.
+
+    ``merge_mode="read"`` is the merge-on-read latency path: the batch
+    collapses to per-key winner+tombstone summary rows (one shuffle)
+    APPENDED as per-bucket delta files — no stored-state read, no bucket
+    rewrite, no bucket-discovery job. ``lake.read`` resolves deltas with
+    the identical LWW algebra, so the visible state matches
+    merge-on-write exactly (see module docstring: one-shot resolution
+    over base ∪ delta summaries equals sequential replay); pair with
+    ``lake.compact_deltas`` to bound read amplification.
 
     Multi-writer note: concurrent writers with interleaved lsn ranges
     MUST pass an ``already_applied_filter`` (state.ExactlyOnceFilter) —
@@ -238,7 +303,7 @@ def apply_batch(
     writers get CommitConflict and must recompute.
     """
     snap = lake.snapshot()
-    if batch_id in snap["applied_batch_ids"]:
+    if lake._batch_applied(snap, batch_id):
         return {"applied": False, "reason": "duplicate batch_id"}
     n_buckets = snap["n_buckets"]
     hwm = snap["lineage"]["hwm"]
@@ -275,7 +340,7 @@ def apply_batch(
                 F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
                 F.countDistinct("lsn").alias("n"),
             ]
-            if not assume_all_buckets:
+            if not assume_all_buckets and merge_mode != "read":
                 aggs.append(
                     F.collect_set(
                         lake.bucket_expr(n_buckets, KEY_COLS)
@@ -298,21 +363,26 @@ def apply_batch(
         # span; sparse ones record their exact coalesced islands.
         sub_ranges = None
         if lsn_range_hint is None and n != hi - lo + 1:
-            # Sparse batches are late/out-of-order re-deliveries — small
-            # by construction — so the single-partition ordering window
-            # over their DISTINCT lsns is fine (never the bulk path).
-            w_all = Window.orderBy("lsn")
-            islands = (
-                ev.select("lsn")
-                .distinct()
-                .withColumn("__grp", F.col("lsn") - F.row_number().over(w_all))
+            sub_ranges = sparse_lsn_islands(ev.select("lsn").distinct())
+
+        if merge_mode == "read":
+            # Merge-on-read: append per-key batch summaries as delta
+            # files. One shuffle (the summary window), no stored read,
+            # no bucket discovery (the partitionBy write discovers the
+            # touched buckets as a side effect of writing them).
+            content = _resolve_union(events_as_rows(ev), None).withColumn(
+                BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)
             )
-            sub_ranges = [
-                [r["lo"], r["hi"]]
-                for r in islands.groupBy("__grp")
-                .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
-                .collect()
-            ]
+            ok = lake.commit(
+                content,
+                [],
+                batch_id,
+                lsn_range=None if sub_ranges is not None else (lo, hi),
+                lsn_ranges=sub_ranges,
+                metrics={"events": n, "merge_mode": "read"},
+                mode="delta",
+            )
+            return {"applied": ok, "events": n, "lsn_range": [lo, hi]}
 
         if assume_all_buckets:
             # Bulk path: a large batch touches every bucket — skip the
@@ -372,7 +442,7 @@ def bootstrap(
     higher lsns — change events that predate the snapshot are duplicates
     by construction and die at the guard."""
     snap = lake.snapshot()
-    if batch_id in snap["applied_batch_ids"]:
+    if lake._batch_applied(snap, batch_id):
         return {"applied": False, "reason": "duplicate batch_id"}
     n_buckets = snap["n_buckets"]
     content = (

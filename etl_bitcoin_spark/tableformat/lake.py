@@ -4,21 +4,39 @@ No Delta/Iceberg jars exist in this environment, so the lake layer is
 built natively, which also satisfies the north rule's "core machinery is
 built natively". Semantics provided:
 
-- **Atomic commit**: a snapshot is a JSON manifest listing every data file
-  per key-bucket. Writers stage data files first, then publish a new
-  manifest via POSIX ``os.rename`` (atomic on one filesystem) of a
-  ``_latest`` pointer. Readers resolve ``_latest`` -> manifest -> file
-  list, so they always see a complete snapshot, never a partial write.
-  This fixes the reference's non-atomic multi-file commit (a Go worker
+- **Atomic commit**: a snapshot is a manifest tree published via a CAS
+  on the version number (``os.link`` create-if-absent — atomic on one
+  filesystem). Readers resolve latest -> manifest tree -> file list, so
+  they always see a complete snapshot, never a partial write. This
+  fixes the reference's non-atomic multi-file commit (a Go worker
   failing mid-``DBTx.Commit`` leaves tables inconsistent — reference
   database/csv/neo4j_csv/neo4j_csv.go:103-117 fans one message per table
   with no rollback).
+- **Hierarchical manifests** (the 100x commit path): the snapshot is a
+  THREE-level tree, exactly Iceberg's manifest-list -> manifest-file ->
+  data-files split —
+
+      snapshot vNNNN.json          O(#groups) group pointers
+        -> gm/gm-<id>.json         O(group_size) bucket pointers
+          -> bm/bm-<id>.json       the bucket's data/delta file lists
+
+  A commit writes ONE new snapshot + new gm/bm files only for the
+  buckets it touched; untouched buckets (and whole untouched groups)
+  carry pointers forward. Commit metadata is therefore O(changed
+  buckets) + O(#groups), INDEPENDENT of the table's total file count —
+  the single-JSON-listing-every-file design rewrote O(total files)
+  per commit and became the driver bottleneck at millions of files.
+  All manifest tree nodes are immutable once written, so they are
+  process-cacheable and safely shared across snapshots.
 - **Idempotent re-commit**: every commit carries a ``batch_id``; the
-  manifest accumulates the set of applied batch ids, so replaying a
+  snapshot keeps the recent ids inline AND every id durably in a
+  hash-sharded marker ledger (``_manifests/batches/``), so replaying a
   micro-batch after a crash is a no-op (exactly-once sink, the analog of
-  the reference's ``Committed()`` flag, loader/mock_types_test.go:137-145).
-- **Resume watermark**: the manifest stores the applied-LSN high-water
-  mark and per-bucket lineage (applied LSN ranges + row counts), an O(1)
+  the reference's ``Committed()`` flag, loader/mock_types_test.go:137-145)
+  — including append-mode batches replayed arbitrarily late, which the
+  bounded inline list alone could not reject.
+- **Resume watermark**: the snapshot stores the applied-LSN high-water
+  mark and lineage (applied LSN ranges + row counts), an O(1)
   replacement for the reference's O(n) tail-scan ``LastBlockNumber()``
   (database/csv/neo4j_csv/neo4j_csv.go:62-79, csv_file.go:122-129).
 - **Time travel**: ``read(version=k)`` reads any retained snapshot.
@@ -28,20 +46,33 @@ built natively". Semantics provided:
   hash — skew-free by construction). At 100 TB the bucket count is the
   rewrite granularity: buckets are independent units of work, one task
   each, so merge parallelism scales with the bucket count, not file count.
+- **Merge-on-read deltas** (``mode="delta"``): small live batches APPEND
+  per-bucket delta files instead of rewriting the buckets' stored rows;
+  ``read`` resolves base-vs-delta with the same LWW+tombstone algebra the
+  merge uses (operators/merge._resolve_union), and ``compact_deltas``
+  folds deltas back into the base on a policy. This removes the
+  merge-on-write rewrite tax from the micro-batch latency path at the
+  classic cost of bounded read amplification.
 
 Layout::
 
     <root>/
-      _manifests/v00000001.json ...   # immutable snapshots
-      _manifests/_latest              # pointer file, atomically renamed
-      data/commit-<v>/bucket=<k>/*.parquet
+      _manifests/v00000001.json ...   # immutable snapshot roots (CAS-claimed)
+      _manifests/_latest              # pointer hint, atomically renamed
+      _manifests/gm/gm-*.json         # immutable group manifests
+      _manifests/bm/bm-*.json         # immutable bucket manifests
+      _manifests/batches/<xx>/<id>    # durable applied-batch markers
+      data/commit-<v>-<id>/bucket=<k>/*.parquet
 
-Single-writer per table (the streaming query's foreachBatch), many
-readers — same model as Iceberg's optimistic single-committer fast path.
+Multi-writer: Iceberg-style optimistic concurrency. Writers stage data
+files, then CAS-claim the next version; losers REBASE (append/delta
+commits always — appends commute; replace commits only when their
+buckets are untouched) or get ``CommitConflict``.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -56,12 +87,35 @@ BUCKET_COL = "bucket"
 LSN_COL = "__lsn"
 DELETED_COL = "__deleted"
 
-# The manifest keeps only the most recent batch ids for the idempotent
-# re-commit guard (crash-restart replays are always of a *recent* batch);
-# anything older is still rejected by the lsn applied_ranges guard. An
-# unbounded list would grow the manifest O(#micro-batches) forever —
-# millions of entries over a long-running tail.
+# The snapshot keeps only the most recent batch ids INLINE (cheap driver-
+# side membership for the common crash-restart replay); the durable
+# marker ledger below covers every batch ever applied, so even an
+# append-mode batch replayed thousands of commits later is rejected.
 MAX_APPLIED_BATCH_IDS = 256
+
+# Buckets per group manifest. 4096 buckets -> 64 group files; a commit
+# touching k buckets rewrites <=k group manifests + k bucket manifests +
+# one O(#groups) snapshot root.
+GROUP_SIZE = 64
+
+# Process-wide cache of immutable manifest-tree nodes (snapshot roots,
+# group manifests, bucket manifests). Safe because every node is written
+# once under a unique name and never modified. Callers must treat the
+# returned dicts as read-only (all internal call sites copy-on-write).
+_JSON_CACHE: dict[str, dict] = {}
+_JSON_CACHE_CAP = 1 << 16
+
+
+def _load_json_cached(path: str) -> dict:
+    hit = _JSON_CACHE.get(path)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        obj = json.load(f)
+    if len(_JSON_CACHE) >= _JSON_CACHE_CAP:
+        _JSON_CACHE.clear()
+    _JSON_CACHE[path] = obj
+    return obj
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -71,6 +125,10 @@ def _atomic_write(path: str, payload: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+
+
+def _empty_bm() -> dict[str, Any]:
+    return {"files": [], "rows": 0, "deltas": [], "delta_rows": 0}
 
 
 class CommitConflict(RuntimeError):
@@ -95,7 +153,9 @@ class LakeTable:
         n_buckets: int = 16,
     ) -> "LakeTable":
         t = cls(spark, root)
-        os.makedirs(t.manifest_dir, exist_ok=True)
+        os.makedirs(os.path.join(t.manifest_dir, "gm"), exist_ok=True)
+        os.makedirs(os.path.join(t.manifest_dir, "bm"), exist_ok=True)
+        os.makedirs(os.path.join(t.manifest_dir, "batches"), exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         manifest = {
             "version": 1,
@@ -103,10 +163,11 @@ class LakeTable:
             "schema_ddl": schema_ddl,
             "key_cols": key_cols,
             "n_buckets": n_buckets,
+            "group_size": min(GROUP_SIZE, n_buckets),
             "batch_id": None,
             "applied_batch_ids": [],
             "committed_at": time.time(),
-            "buckets": {},
+            "groups": {},
             "lineage": {"hwm": -1, "applied_ranges": [], "rows_total": 0},
         }
         t._publish(manifest)
@@ -117,8 +178,11 @@ class LakeTable:
         return os.path.exists(os.path.join(root, "_manifests", "_latest"))
 
     # ------------------------------------------------------------ manifests
+    def _vname(self, version: int) -> str:
+        return f"v{version:08d}.json"
+
     def _publish(self, manifest: dict[str, Any]) -> None:
-        name = f"v{manifest['version']:08d}.json"
+        name = self._vname(manifest["version"])
         _atomic_write(
             os.path.join(self.manifest_dir, name),
             json.dumps(manifest, indent=1),
@@ -130,9 +194,9 @@ class LakeTable:
         (create-if-absent on one filesystem). Returns False if another
         writer claimed version N first — the caller rebases and retries.
         ``_latest`` stays a best-effort hint; the authoritative latest is
-        max(versions()) (see snapshot), so a stale hint can never roll a
-        reader back."""
-        name = f"v{manifest['version']:08d}.json"
+        resolved by walking forward from the hint (see _latest_version),
+        so a stale hint can never roll a reader back."""
+        name = self._vname(manifest["version"])
         path = os.path.join(self.manifest_dir, name)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -148,19 +212,37 @@ class LakeTable:
         _atomic_write(os.path.join(self.manifest_dir, "_latest"), name)
         return True
 
-    def snapshot(self, version: int | None = None) -> dict[str, Any]:
-        if version is None:
-            # Authoritative latest = highest committed version on disk.
-            # (The _latest pointer is only a hint: under concurrent
-            # writers it can briefly lag or regress.)
+    def _latest_version(self) -> int:
+        """Resolve the latest committed version in O(1 + writer-lag) stat
+        calls: start from the ``_latest`` hint (written after every
+        claim) and walk forward while a higher version exists. Never a
+        full directory listing on the hot path — manifests accumulate
+        one per micro-batch between expiries, and hot-path metadata
+        reads must not become O(#snapshots)."""
+        hint = 0
+        try:
+            with open(os.path.join(self.manifest_dir, "_latest")) as f:
+                hint = int(f.read().strip()[1:-5])
+        except (FileNotFoundError, ValueError):
             vs = self.versions()
             if not vs:
-                raise FileNotFoundError(f"no manifests under {self.manifest_dir}")
-            name = f"v{vs[-1]:08d}.json"
-        else:
-            name = f"v{version:08d}.json"
-        with open(os.path.join(self.manifest_dir, name)) as f:
-            return json.load(f)
+                raise FileNotFoundError(
+                    f"no manifests under {self.manifest_dir}"
+                )
+            hint = vs[-1]
+        v = hint
+        while os.path.exists(os.path.join(self.manifest_dir, self._vname(v + 1))):
+            v += 1
+        return v
+
+    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+        """Load a snapshot root. Returned dicts are cached and shared —
+        treat them as immutable (copy before mutating)."""
+        if version is None:
+            version = self._latest_version()
+        return _load_json_cached(
+            os.path.join(self.manifest_dir, self._vname(version))
+        )
 
     def versions(self) -> list[int]:
         out = []
@@ -169,30 +251,132 @@ class LakeTable:
                 out.append(int(n[1:-5]))
         return sorted(out)
 
+    # ----------------------------------------------------- manifest tree IO
+    def _load_gm(self, m: dict[str, Any], gid: str) -> dict[str, Any]:
+        """Group manifest: {bucket: pointer-entry}. Empty if absent."""
+        g = m["groups"].get(gid)
+        if g is None:
+            return {}
+        return _load_json_cached(os.path.join(self.manifest_dir, g["m"]))[
+            "buckets"
+        ]
+
+    def _bucket_pointer(
+        self, m: dict[str, Any], b: str
+    ) -> dict[str, Any] | None:
+        gid = str(int(b) // m["group_size"])
+        return self._load_gm(m, gid).get(b)
+
+    def _load_bm(self, pointer: dict[str, Any] | None) -> dict[str, Any]:
+        if pointer is None:
+            return _empty_bm()
+        return _load_json_cached(
+            os.path.join(self.manifest_dir, pointer["m"])
+        )
+
+    def _write_node(self, kind: str, payload: dict[str, Any]) -> str:
+        """Write an immutable gm/bm node, return its manifest-dir-relative
+        path (also primes the cache — the very next snapshot read needs
+        it)."""
+        rel = os.path.join(kind, f"{kind}-{uuid.uuid4().hex}.json")
+        path = os.path.join(self.manifest_dir, rel)
+        _atomic_write(path, json.dumps(payload))
+        _JSON_CACHE[path] = payload
+        return rel
+
+    def bucket_entries(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> dict[str, dict[str, Any]]:
+        """Materialize {bucket: {"files", "rows", "deltas", "delta_rows"}}
+        for the selected buckets (all when None), loading ONLY the group
+        and bucket manifests those buckets live in."""
+        m = self.snapshot(version)
+        want = None if buckets is None else {str(b) for b in buckets}
+        out: dict[str, dict[str, Any]] = {}
+        for gid in m["groups"]:
+            if want is not None:
+                lo = int(gid) * m["group_size"]
+                if not any(lo <= int(b) < lo + m["group_size"] for b in want):
+                    continue
+            for b, ptr in self._load_gm(m, gid).items():
+                if want is None or b in want:
+                    out[b] = self._load_bm(ptr)
+        return out
+
+    # ------------------------------------------------------- batch ledger
+    def _batch_marker(self, batch_id: str) -> str:
+        h = hashlib.md5(batch_id.encode()).hexdigest()
+        return os.path.join(self.manifest_dir, "batches", h[:2], h)
+
+    def _batch_applied(self, m: dict[str, Any], batch_id: str) -> bool:
+        """Exactly-once guard: recent ids inline in the snapshot, ALL ids
+        in the durable marker ledger — so an append-mode batch (which
+        writes no applied_ranges) replayed after >MAX_APPLIED_BATCH_IDS
+        commits is still rejected instead of silently double-appending."""
+        return batch_id in m["applied_batch_ids"] or os.path.exists(
+            self._batch_marker(batch_id)
+        )
+
+    def _mark_batch_applied(self, batch_id: str) -> None:
+        p = self._batch_marker(batch_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            with open(p, "x"):
+                pass
+        except FileExistsError:
+            pass
+
     # ----------------------------------------------------------------- read
     def read(
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
         user_cols: bool = False,
+        resolve_deltas: bool = True,
     ) -> DataFrame:
         """Read a snapshot. ``buckets`` prunes to those buckets only —
         the MERGE's partition-pruning fast path (only touched buckets are
-        scanned, the rest of the 100 TB is never read)."""
+        scanned, the rest of the 100 TB is never read). Buckets carrying
+        merge-on-read delta files are resolved with the LWW+tombstone
+        algebra (one key-partitioned window) unless ``resolve_deltas``
+        is False (raw base rows only — maintenance use)."""
         m = self.snapshot(version)
-        sel = m["buckets"]
-        if buckets is not None:
-            want = {str(b) for b in buckets}
-            sel = {k: v for k, v in sel.items() if k in want}
-        files = [os.path.join(self.root, f) for b in sel.values() for f in b["files"]]
+        entries = self.bucket_entries(version=m["version"], buckets=buckets)
+        base_files = [
+            os.path.join(self.root, f)
+            for e in entries.values()
+            for f in e["files"]
+        ]
+        delta_files = [
+            os.path.join(self.root, f)
+            for e in entries.values()
+            for f in e["deltas"]
+        ]
         schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
-        if not files:
-            df = self.spark.createDataFrame([], schema=schema)
-        else:
+
+        def _scan(files: list[str]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], schema=schema)
             # Old data files may predate an additive schema evolution:
             # the explicit read schema backfills missing columns as null.
             df = self.spark.read.schema(schema).parquet(*files)
-        df = df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            return df.withColumn(
+                DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+
+        df = _scan(base_files)
+        if delta_files and resolve_deltas:
+            # Merge-on-read: base winners/tombstones vs delta batch
+            # summaries resolve with EXACTLY the merge algebra — the
+            # resolved read equals what merge-on-write would have stored
+            # (see operators/merge.py module docstring for the proof).
+            from ..operators.merge import _resolve_union
+
+            df = _resolve_union(
+                df.unionByName(_scan(delta_files)),
+                None,
+                key_cols=m["key_cols"],
+            )
         # BUCKET_COL is a pure function of the key columns — re-derive it
         # instead of parsing paths (robust to any directory layout).
         df = df.withColumn(
@@ -224,27 +408,34 @@ class LakeTable:
         the rows of ``new_content`` (which must contain BUCKET_COL and
         LSN_COL and only rows belonging to those buckets). Returns False
         (no-op) if ``batch_id`` was already applied — the exactly-once
-        guard. Untouched buckets carry their existing files forward
-        (metadata-only, zero data movement).
+        guard. Untouched buckets carry their manifest pointers forward
+        (metadata-only, zero data movement, zero file-list rewriting).
 
         ``mode="append"`` is the Iceberg-style fast append: new files
         are ADDED to their buckets' file lists and nothing is replaced —
         pure metadata merge, the scalable path for append-mostly fan-out
-        tables (event nodes, edges, lineage). ``replaced_buckets`` must
-        be empty in append mode.
+        tables (event nodes, edges, lineage).
+
+        ``mode="delta"`` is the merge-on-read append: new files are
+        added to their buckets' DELTA lists; ``read`` resolves them
+        against the base lazily and ``compact_deltas`` folds them in on
+        a policy. ``replaced_buckets`` must be empty in both non-replace
+        modes.
 
         **Multi-writer protocol** (Iceberg-style optimistic): data files
         stage once; the manifest publish is a CAS on the version number.
-        Losing the race triggers a REBASE: if no bucket this commit
-        touches changed since ``base_version`` (the snapshot the caller
-        computed its content against — pass it for exactness; defaults
-        to the snapshot at commit entry), the manifest is rebuilt on the
-        winner's snapshot and re-claimed; otherwise ``CommitConflict``
-        is raised and the caller must recompute its merge."""
-        if mode == "append" and replaced_buckets:
-            raise ValueError("append mode cannot replace buckets")
+        Losing the race triggers a REBASE. Append/delta commits ALWAYS
+        rebase (appends commute — the file-list merge runs against the
+        winner's pointers). Replace commits rebase only when no bucket
+        this commit touches changed since ``base_version`` (the snapshot
+        the caller computed its content against); otherwise
+        ``CommitConflict`` is raised and the caller must recompute."""
+        if mode not in ("replace", "append", "delta"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        if mode != "replace" and replaced_buckets:
+            raise ValueError(f"{mode} mode cannot replace buckets")
         prev = self.snapshot()
-        if batch_id in prev["applied_batch_ids"]:
+        if self._batch_applied(prev, batch_id):
             return False
         # Staging dir is version-independent (unique suffix): a rebase
         # publishes the same files under a later version.
@@ -349,37 +540,94 @@ class LakeTable:
 
         # ----- optimistic publish: rebase-and-retry on lost CAS races.
         # ``base`` = the snapshot this commit's CONTENT was computed
-        # against; any concurrent change to a bucket we touch since then
-        # invalidates the content (conflict), disjoint changes rebase.
+        # against. Append/delta buckets never conflict (commutative:
+        # their file-list merge runs against the WINNER's pointers);
+        # replace-mode buckets conflict when concurrently changed.
         base = prev if base_version is None else self.snapshot(base_version)
-        touched = {str(b) for b in replaced_buckets} | set(per_bucket)
+        conflict_buckets = (
+            {str(b) for b in replaced_buckets} | set(per_bucket)
+            if mode == "replace"
+            else set()
+        )
+        group_size = prev["group_size"]
         for _attempt in range(max_retries):
             cur = self.snapshot()
-            if batch_id in cur["applied_batch_ids"]:
+            if self._batch_applied(cur, batch_id):
                 return False
             if cur["version"] != base["version"]:
-                for b in touched:
-                    if cur["buckets"].get(b) != base["buckets"].get(b):
+                for b in conflict_buckets:
+                    if self._bucket_pointer(cur, b) != self._bucket_pointer(
+                        base, b
+                    ):
                         raise CommitConflict(
                             f"bucket {b} changed concurrently "
                             f"(v{base['version']} -> v{cur['version']}); "
                             "recompute the merge against the new snapshot"
                         )
-            buckets = dict(cur["buckets"])
+            # --- build the new pointer set for every touched bucket
+            new_ptrs: dict[str, dict | None] = {}
             for b in replaced_buckets:
-                buckets.pop(str(b), None)
+                new_ptrs[str(b)] = None  # dropped unless re-added below
             for b, info in per_bucket.items():
-                if mode == "append":
+                if info["rows"] <= 0 and mode != "replace":
+                    continue
+                if mode == "replace":
                     if info["rows"] > 0:
-                        prev_b = buckets.get(b, {"files": [], "rows": 0})
-                        buckets[b] = {
-                            "files": sorted(prev_b["files"] + info["files"]),
-                            "rows": prev_b["rows"] + info["rows"],
+                        bm = {
+                            "files": info["files"],
+                            "rows": info["rows"],
+                            "deltas": [],
+                            "delta_rows": 0,
                         }
-                elif info["rows"] > 0:
-                    buckets[b] = dict(info)
-                elif b in buckets:
-                    del buckets[b]
+                    else:
+                        new_ptrs.setdefault(b, None)
+                        continue
+                elif mode == "append":
+                    cur_bm = self._load_bm(self._bucket_pointer(cur, b))
+                    bm = {
+                        "files": sorted(cur_bm["files"] + info["files"]),
+                        "rows": cur_bm["rows"] + info["rows"],
+                        "deltas": cur_bm["deltas"],
+                        "delta_rows": cur_bm["delta_rows"],
+                    }
+                else:  # delta
+                    cur_bm = self._load_bm(self._bucket_pointer(cur, b))
+                    bm = {
+                        "files": cur_bm["files"],
+                        "rows": cur_bm["rows"],
+                        "deltas": sorted(cur_bm["deltas"] + info["files"]),
+                        "delta_rows": cur_bm["delta_rows"] + info["rows"],
+                    }
+                new_ptrs[b] = {
+                    "m": self._write_node("bm", bm),
+                    "rows": bm["rows"],
+                    "delta_rows": bm["delta_rows"],
+                    "n_files": len(bm["files"]),
+                    "n_deltas": len(bm["deltas"]),
+                }
+            # --- rewrite only the group manifests whose buckets changed
+            groups = dict(cur["groups"])
+            by_gid: dict[str, dict[str, dict | None]] = {}
+            for b, ptr in new_ptrs.items():
+                by_gid.setdefault(str(int(b) // group_size), {})[b] = ptr
+            for gid, changes in by_gid.items():
+                gm = dict(self._load_gm(cur, gid))
+                for b, ptr in changes.items():
+                    if ptr is None:
+                        gm.pop(b, None)
+                    else:
+                        gm[b] = ptr
+                if gm:
+                    groups[gid] = {
+                        "m": self._write_node("gm", {"buckets": gm}),
+                        "rows": sum(p["rows"] for p in gm.values()),
+                        "delta_rows": sum(
+                            p["delta_rows"] for p in gm.values()
+                        ),
+                        "n_buckets": len(gm),
+                    }
+                else:
+                    groups.pop(gid, None)
             lineage = dict(cur["lineage"])
             # Applied-lsn bookkeeping accepts either one dense span or
             # the exact sub-ranges of a sparse (late/out-of-order) batch
@@ -396,23 +644,31 @@ class LakeTable:
                 lineage["applied_ranges"] = _merge_ranges(
                     lineage["applied_ranges"] + new_ranges
                 )
-            lineage["rows_total"] = sum(b["rows"] for b in buckets.values())
+            # O(#groups) from the aggregated group pointers — never a
+            # walk of the bucket or file level. delta_rows counts raw
+            # delta rows (upper bound: deltas may supersede base rows
+            # until compaction folds them in).
+            lineage["rows_total"] = sum(
+                g["rows"] + g["delta_rows"] for g in groups.values()
+            )
             manifest = {
                 "version": cur["version"] + 1,
                 "parent": cur["version"],
                 "schema_ddl": cur["schema_ddl"],
                 "key_cols": cur["key_cols"],
                 "n_buckets": cur["n_buckets"],
+                "group_size": group_size,
                 "batch_id": batch_id,
                 "applied_batch_ids": (cur["applied_batch_ids"] + [batch_id])[
                     -MAX_APPLIED_BATCH_IDS:
                 ],
                 "committed_at": time.time(),
-                "buckets": buckets,
+                "groups": groups,
                 "lineage": lineage,
                 "metrics": metrics or {},
             }
             if self._claim_version(manifest):
+                self._mark_batch_applied(batch_id)
                 return True
         raise CommitConflict(
             f"lost {max_retries} CAS races publishing batch {batch_id}"
@@ -426,7 +682,7 @@ class LakeTable:
         rebases on the winner)."""
         for _attempt in range(8):
             prev = self.snapshot()
-            if batch_id in prev["applied_batch_ids"]:
+            if self._batch_applied(prev, batch_id):
                 return False
             m = dict(prev)
             m["version"] = prev["version"] + 1
@@ -438,6 +694,7 @@ class LakeTable:
             ]
             m["committed_at"] = time.time()
             if self._claim_version(m):
+                self._mark_batch_applied(batch_id)
                 return True
         raise CommitConflict(f"lost 8 CAS races evolving schema ({batch_id})")
 
@@ -447,16 +704,21 @@ class LakeTable:
         whose state differs, with ``_change_type`` in
         {insert, update_postimage, delete}.
 
-        Cost model: only buckets whose file lists CHANGED between the two
-        manifests are read (metadata diff prunes the rest), then a full
-        outer join on the key within those buckets."""
+        Cost model: only buckets whose manifest POINTERS changed between
+        the two snapshots are read (group pointers prune whole untouched
+        groups without loading them), then a full outer join on the key
+        within those buckets."""
         m_new = self.snapshot(to_version)
         m_old = self.snapshot(from_version)
-        changed = [
-            int(b)
-            for b in set(m_new["buckets"]) | set(m_old["buckets"])
-            if m_new["buckets"].get(b) != m_old["buckets"].get(b)
-        ]
+        changed: list[int] = []
+        for gid in set(m_new["groups"]) | set(m_old["groups"]):
+            if m_new["groups"].get(gid) == m_old["groups"].get(gid):
+                continue  # identical group manifest -> no bucket changed
+            gm_new = self._load_gm(m_new, gid)
+            gm_old = self._load_gm(m_old, gid)
+            for b in set(gm_new) | set(gm_old):
+                if gm_new.get(b) != gm_old.get(b):
+                    changed.append(int(b))
         key = m_new["key_cols"]
         # Stored state intentionally keeps up to TWO rows per key after a
         # delete-then-reinsert (retained tombstone + live winner). Collapse
@@ -477,12 +739,14 @@ class LakeTable:
             )
 
         old = _one_per_key(
-            self.read(version=from_version, buckets=changed)
+            self.read(version=m_old["version"], buckets=changed)
         ).select(
             *key, F.col(LSN_COL).alias("__old_lsn"),
             F.col(DELETED_COL).alias("__old_del"),
         )
-        new = _one_per_key(self.read(version=to_version, buckets=changed))
+        new = _one_per_key(
+            self.read(version=m_new["version"], buckets=changed)
+        )
         j = new.join(old, key, "full_outer")
         was_live = F.col("__old_del").isNotNull() & ~F.col("__old_del")
         is_live = F.col(DELETED_COL).isNotNull() & ~F.col(DELETED_COL)
@@ -506,39 +770,125 @@ class LakeTable:
         self,
         keep_last: int = 10,
         pinned_versions: set[int] | None = None,
+        orphan_grace_sec: float | None = None,
     ) -> dict[str, int]:
-        """Retire old snapshots and delete data files no retained
-        snapshot references (Iceberg-style expire + orphan GC). The
-        latest snapshot is never touched; the operation is metadata-first
-        (manifests removed only after their exclusive files are gone), so
-        a crash mid-expiry leaves a readable table and re-running
-        completes the cleanup. ``pinned_versions`` (e.g. versions a
-        LakeCatalog snapshot still references) always survive regardless
-        of ``keep_last``."""
+        """Retire old snapshots and delete data files + manifest-tree
+        nodes no retained snapshot references (Iceberg-style expire +
+        orphan GC). The latest snapshot is never touched; the operation
+        is metadata-first (manifests removed only after their exclusive
+        files are gone), so a crash mid-expiry leaves a readable table
+        and re-running completes the cleanup. ``pinned_versions`` (e.g.
+        versions a LakeCatalog snapshot still references) always survive
+        regardless of ``keep_last``.
+
+        ``orphan_grace_sec`` additionally sweeps ORPHANS: staged data
+        files and manifest nodes older than the grace period that no
+        retained snapshot references — the residue of commits that lost
+        every CAS retry, raised CommitConflict, or crashed before the
+        version claim. The grace period protects concurrent in-flight
+        commits (their staged files are younger)."""
         versions = self.versions()
         keep = set(versions[-keep_last:]) | {
             v for v in (pinned_versions or set()) if v in versions
         }
-        if len(versions) <= len(keep):
-            return {"snapshots_removed": 0, "files_removed": 0}
         live_files: set[str] = set()
+        live_nodes: set[str] = set()
         for v in keep:
             m = self.snapshot(v)
-            for b in m["buckets"].values():
-                live_files.update(b["files"])
+            for g in m["groups"].values():
+                live_nodes.add(g["m"])
+            for bm_ptr_map in (self._load_gm(m, gid) for gid in m["groups"]):
+                for ptr in bm_ptr_map.values():
+                    live_nodes.add(ptr["m"])
+                    bm = self._load_bm(ptr)
+                    live_files.update(bm["files"])
+                    live_files.update(bm["deltas"])
+        # Phase 1: WALK every expired version (nodes can be shared across
+        # expired versions — collect first, delete after, or a shared bm
+        # vanishes mid-walk).
         files_removed = 0
-        for v in versions:
-            if v in keep:
-                continue
+        snapshots_removed = 0
+        dead_nodes: set[str] = set()
+        dead_files: set[str] = set()
+        expired = [v for v in versions if v not in keep]
+        for v in expired:
             m = self.snapshot(v)
-            for b in m["buckets"].values():
-                for f in b["files"]:
-                    if f not in live_files:
-                        p = os.path.join(self.root, f)
-                        if os.path.exists(p):
+            for gid in m["groups"]:
+                g = m["groups"][gid]
+                if g["m"] not in live_nodes:
+                    dead_nodes.add(g["m"])
+                for ptr in self._load_gm(m, gid).values():
+                    if ptr["m"] in live_nodes or ptr["m"] in dead_nodes:
+                        continue
+                    dead_nodes.add(ptr["m"])
+                    bm = self._load_bm(ptr)
+                    for f in bm["files"] + bm["deltas"]:
+                        if f not in live_files:
+                            dead_files.add(f)
+        # Phase 2: data files first, then manifest nodes, then snapshot
+        # roots (metadata-last: a crash mid-expiry leaves a readable
+        # table and re-running completes the cleanup).
+        for f in dead_files:
+            p = os.path.join(self.root, f)
+            if os.path.exists(p):
+                os.remove(p)
+                files_removed += 1
+        for rel in dead_nodes:
+            p = os.path.join(self.manifest_dir, rel)
+            _JSON_CACHE.pop(p, None)
+            if os.path.exists(p):
+                os.remove(p)
+        for v in expired:
+            vpath = os.path.join(self.manifest_dir, self._vname(v))
+            _JSON_CACHE.pop(vpath, None)
+            os.remove(vpath)
+            snapshots_removed += 1
+        orphans_removed = 0
+        if orphan_grace_sec is not None:
+            cutoff = time.time() - orphan_grace_sec
+            # staged data files never claimed by a manifest
+            for d in os.listdir(self.data_dir):
+                full = os.path.join(self.data_dir, d)
+                if not os.path.isdir(full):
+                    continue
+                for sub, _dirs, files in os.walk(full):
+                    for fn in files:
+                        p = os.path.join(sub, fn)
+                        relp = os.path.relpath(p, self.root)
+                        if relp in live_files:
+                            continue
+                        try:
+                            if os.path.getmtime(p) < cutoff:
+                                os.remove(p)
+                                orphans_removed += 1
+                        except FileNotFoundError:
+                            pass
+            # unreferenced manifest nodes + leaked tmp files
+            for sub in ("gm", "bm"):
+                d = os.path.join(self.manifest_dir, sub)
+                if not os.path.isdir(d):
+                    continue
+                for fn in os.listdir(d):
+                    rel = os.path.join(sub, fn)
+                    p = os.path.join(d, fn)
+                    if rel in live_nodes and ".tmp." not in fn:
+                        continue
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            _JSON_CACHE.pop(p, None)
                             os.remove(p)
-                            files_removed += 1
-            os.remove(os.path.join(self.manifest_dir, f"v{v:08d}.json"))
+                            orphans_removed += 1
+                    except FileNotFoundError:
+                        pass
+            for fn in os.listdir(self.manifest_dir):
+                if ".tmp." in fn:
+                    p = os.path.join(self.manifest_dir, fn)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            os.remove(p)
+                            orphans_removed += 1
+                    except FileNotFoundError:
+                        pass
         # prune now-empty commit dirs
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)
@@ -547,9 +897,45 @@ class LakeTable:
                     if not os.listdir(sub):
                         os.rmdir(sub)
         return {
-            "snapshots_removed": len(versions) - len(keep),
+            "snapshots_removed": snapshots_removed,
             "files_removed": files_removed,
+            "orphans_removed": orphans_removed,
         }
+
+    def compact_deltas(
+        self,
+        max_deltas_per_bucket: int = 8,
+        batch_id: str | None = None,
+    ) -> dict[str, Any]:
+        """Fold merge-on-read delta files back into the base for every
+        bucket whose delta count exceeds the policy — bounding read
+        amplification to ``max_deltas_per_bucket`` extra files per
+        bucket. Victim discovery is METADATA-ONLY (group pointers carry
+        aggregated counts; only groups with deltas load their bucket
+        pointers); the rewrite reads and replaces only victim buckets.
+        Idempotent on batch_id; safe to run concurrently with delta
+        appends (replace-mode CAS conflicts make the loser retry)."""
+        m = self.snapshot()
+        victims: list[int] = []
+        for gid, g in m["groups"].items():
+            if g["delta_rows"] <= 0:
+                continue
+            for b, ptr in self._load_gm(m, gid).items():
+                if ptr["n_deltas"] > max_deltas_per_bucket:
+                    victims.append(int(b))
+        if not victims:
+            return {"buckets_compacted": 0, "applied": False}
+        content = self.read(version=m["version"], buckets=victims).repartition(
+            len(victims), *m["key_cols"]
+        )
+        ok = self.commit(
+            content,
+            victims,
+            batch_id or f"compact-deltas-v{m['version']}",
+            metrics={"compaction": "deltas", "buckets": len(victims)},
+            base_version=m["version"],
+        )
+        return {"buckets_compacted": len(victims) if ok else 0, "applied": ok}
 
     def compact_bucket_tombstones(
         self, horizon_lsn: int, batch_id: str | None = None
@@ -569,7 +955,6 @@ class LakeTable:
         rewritten (discovered by a pruned scan); the rest carry forward
         metadata-only."""
         snap = self.snapshot()
-        n_buckets = snap["n_buckets"]
         victim = F.col(DELETED_COL) & (F.col(LSN_COL) <= F.lit(horizon_lsn))
         affected = [
             r[BUCKET_COL]

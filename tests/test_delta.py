@@ -1,0 +1,150 @@
+"""Merge-on-read delta mode: per-batch summaries append as delta files,
+reads resolve base-vs-delta with the merge algebra (state identical to
+merge-on-write), compaction bounds read amplification.
+"""
+
+import pandas as pd
+import pytest
+
+from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, oracle_replay
+from etl_bitcoin_spark.operators.merge import (
+    BINLOG_DDL,
+    KEY_COLS,
+    TRANSCRIPTS_DDL,
+    apply_batch,
+)
+from etl_bitcoin_spark.tableformat import LakeTable
+
+
+def _spark_binlog(spark, pdf):
+    return spark.createDataFrame(
+        pdf.drop(columns=["seg", "evolved"]), BINLOG_DDL
+    )
+
+
+def _final(lake):
+    return (
+        lake.read(user_cols=True)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def _norm(df):
+    df = df.copy()
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    for c in ("role", "text", "tool"):
+        df[c] = df[c].astype(object).where(df[c].notna(), None)
+    return df.reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def binlog_pdf():
+    # deletes + ts collisions + duplicates: the full LWW algebra
+    return generate_binlog(
+        BinlogSpec(seed=7, n_convs=40, max_turns=12, n_events=3000,
+                   delete_rate=0.12, dup_rate=0.03)
+    )
+
+
+def _replay_in_batches(spark, lake, pdf, merge_mode, n_batches=6):
+    n = int(pdf["lsn"].max()) + 1
+    width = (n + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        lo, hi = i * width, min((i + 1) * width - 1, n - 1)
+        chunk = pdf[(pdf["lsn"] >= lo) & (pdf["lsn"] <= hi)]
+        if chunk.empty:
+            continue
+        apply_batch(
+            lake, _spark_binlog(spark, chunk), f"{merge_mode}-{i}",
+            lsn_range_hint=(lo, hi), merge_mode=merge_mode,
+        )
+
+
+def test_merge_on_read_equals_merge_on_write_and_oracle(
+    spark, tmp_path, binlog_pdf
+):
+    """Same binlog, both modes, identical visible state — and both equal
+    the golden sequential replay."""
+    mow = LakeTable.create(
+        spark, str(tmp_path / "mow"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    _replay_in_batches(spark, mow, binlog_pdf, "write")
+    _replay_in_batches(spark, mor, binlog_pdf, "read")
+    # merge-on-read appended deltas, never rewrote a base file
+    entries = mor.bucket_entries()
+    assert all(len(e["files"]) == 0 for e in entries.values())
+    assert any(len(e["deltas"]) > 0 for e in entries.values())
+    want = _norm(oracle_replay(binlog_pdf))
+    got_w = _norm(_final(mow))
+    got_r = _norm(_final(mor))
+    pd.testing.assert_frame_equal(got_w, want)
+    pd.testing.assert_frame_equal(got_r, want)
+    # lineage identical (exactly-once bookkeeping mode-independent)
+    assert mor.lineage()["hwm"] == mow.lineage()["hwm"]
+    assert mor.lineage()["applied_ranges"] == mow.lineage()["applied_ranges"]
+
+
+def test_compaction_bounds_read_amplification(spark, tmp_path, binlog_pdf):
+    """compact_deltas folds deltas into the base when a bucket exceeds
+    the policy; visible state unchanged; per-bucket delta count bounded;
+    idempotent on batch_id."""
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    _replay_in_batches(spark, lake, binlog_pdf, "read", n_batches=10)
+    before = _norm(_final(lake))
+    max_deltas = max(
+        len(e["deltas"]) for e in lake.bucket_entries().values()
+    )
+    assert max_deltas >= 10  # every batch touched every bucket
+    res = lake.compact_deltas(max_deltas_per_bucket=3)
+    assert res["applied"] and res["buckets_compacted"] == 4
+    entries = lake.bucket_entries()
+    assert all(len(e["deltas"]) == 0 for e in entries.values())
+    assert all(len(e["files"]) >= 1 for e in entries.values())
+    pd.testing.assert_frame_equal(_norm(_final(lake)), before)
+    # below-threshold: no-op
+    res2 = lake.compact_deltas(max_deltas_per_bucket=3)
+    assert not res2["applied"] and res2["buckets_compacted"] == 0
+    # more deltas on top of the compacted base still resolve correctly
+    pdf2 = binlog_pdf.copy()
+    n = int(pdf2["lsn"].max()) + 1
+    tail = generate_binlog(
+        BinlogSpec(seed=8, n_convs=40, max_turns=12, n_events=500,
+                   delete_rate=0.12)
+    )
+    tail = tail.assign(lsn=tail["lsn"] + n)
+    apply_batch(
+        lake, _spark_binlog(spark, tail), "tail",
+        lsn_range_hint=(n, n + 499), merge_mode="read",
+    )
+    combined = pd.concat([binlog_pdf, tail], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        _norm(_final(lake)), _norm(oracle_replay(combined))
+    )
+
+
+def test_delta_mode_exactly_once_replay(spark, tmp_path, binlog_pdf):
+    """Replaying a delta batch (same batch_id) is a metadata no-op —
+    no double-appended delta files."""
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    chunk = binlog_pdf[binlog_pdf["lsn"] < 500]
+    ev = _spark_binlog(spark, chunk)
+    r1 = apply_batch(lake, ev, "d0", lsn_range_hint=(0, 499),
+                     merge_mode="read")
+    assert r1["applied"]
+    n_deltas = sum(len(e["deltas"]) for e in lake.bucket_entries().values())
+    r2 = apply_batch(lake, ev, "d0", lsn_range_hint=(0, 499),
+                     merge_mode="read")
+    assert not r2["applied"]
+    assert sum(
+        len(e["deltas"]) for e in lake.bucket_entries().values()
+    ) == n_deltas

@@ -91,9 +91,11 @@ def test_bucket_replacement_only_touches_affected(spark, tmp_lake_dir):
     )
     lake.commit(upd, [b_c1], "b2", (5, 5))
     m2 = lake.snapshot()
-    for b, info in m2["buckets"].items():
+    e1 = lake.bucket_entries(version=m1["version"])
+    e2 = lake.bucket_entries(version=m2["version"])
+    for b, info in e2.items():
         if int(b) != b_c1:
-            assert info == m1["buckets"][b], "untouched bucket files must carry over"
+            assert info == e1[b], "untouched bucket files must carry over"
     texts = {
         r.text for r in lake.read(user_cols=True).select("text").collect()
     }
@@ -289,7 +291,7 @@ def test_commit_metadata_scales_with_bucket_count(spark, tmp_path, monkeypatch):
         monkeypatch.undo()
         assert lake.lineage()["rows_total"] == 200_000
         n_files = sum(
-            len(b["files"]) for b in lake.snapshot()["buckets"].values()
+            len(b["files"]) for b in lake.bucket_entries().values()
         )
         assert n_files >= n_buckets // 2  # real per-bucket layout
     # gross-regression guard only (~15-30s solo; generous for suite
