@@ -237,8 +237,53 @@ def q_cdc_fanout_summary(spark, sf_dir):
     return turns.unionByName(convs).unionByName(edges).unionByName(lineage)
 
 
+def q_cdc_lww_apply_mor(spark, sf_dir):
+    """Flagship equality through the MERGE-ON-READ lake path: the derived
+    binlog replays into a real LakeTable as delta appends (4 ordered
+    micro-batches), deltas partially compacted mid-stream, and the
+    RESOLVED read must equal the same sequential-replay SQL oracle as
+    ``cdc_lww_apply`` — proving base-vs-delta resolution is exact end to
+    end, not just in pytest. (The gate lake lives in a tmp dir that must
+    outlive this call — the driver collects the returned frame lazily.)"""
+    import os
+    import tempfile
+
+    from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
+    from ..tableformat.lake import DELETED_COL, LSN_COL, LakeTable
+
+    b = derived_binlog(spark, sf_dir)
+    lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="gate_mor_", dir=base)
+    lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, 8)
+    width = (int(hi) - int(lo) + 4) // 4
+    for i in range(4):
+        s = int(lo) + i * width
+        e = min(s + width - 1, int(hi))
+        if s > int(hi):
+            break
+        apply_batch(
+            lake,
+            b.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
+            f"mor-{i}",
+            lsn_range_hint=(s, e),
+            merge_mode="read",
+        )
+        if i == 1:
+            # compact mid-replay so the final read resolves a MIX of
+            # compacted base + later deltas (the hard case)
+            lake.compact_deltas(max_deltas_per_bucket=1, batch_id="mor-c1")
+    st = lake.read()
+    return st.filter(~F.col(DELETED_COL)).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col(LSN_COL).alias("win_lsn"),
+    )
+
+
 QUERIES = {
     "cdc_binlog_derive": q_cdc_binlog_derive,
+    "cdc_lww_apply_mor": q_cdc_lww_apply_mor,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
     "cdc_lww_tiebreak": q_cdc_lww_tiebreak,
@@ -284,6 +329,9 @@ SELECT * FROM turns UNION ALL SELECT * FROM convs
 UNION ALL SELECT * FROM edges UNION ALL SELECT * FROM lin
 """,
     "cdc_lww_apply": _LWW_SQL,
+    # the merge-on-read lake replay must converge to the SAME final
+    # state the sequential-replay SQL describes
+    "cdc_lww_apply_mor": _LWW_SQL,
     "cdc_lww_tiebreak": f"""
 WITH binlog AS (
   SELECT lsn, op, conv_id, turn_idx, date_trunc('hour', ts) AS ts

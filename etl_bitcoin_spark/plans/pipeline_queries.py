@@ -297,6 +297,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_lsh_tuned(spark, sf_dir):
+    """The threshold-tuned LSH OPERATOR (operators.dedup.minhash_lsh_pairs)
+    under an oracle gate: at threshold 0.7 with 16 hashes the S-curve
+    picks (b=4, r=4) banding — the oracle reproduces exactly that
+    banding plus the candidate-only Jaccard verify."""
+    from ..operators.dedup import minhash_lsh_pairs, tune_bands
+
+    assert tune_bands(16, 0.7) == (4, 4)  # pins the oracle's banding
+    d = _docs_with_mutated_copies(spark, sf_dir)
+    return minhash_lsh_pairs(d, threshold=0.7, n_hashes=16)
+
+
 # ------------------------------------------------------- dedup: SimHash
 def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash signature per document over distinct word tokens."""
@@ -641,6 +653,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_lsh_tuned": q_dedup_minhash_lsh_tuned,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -730,6 +743,39 @@ jac AS (
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= 0.5
+""",
+    "dedup_minhash_lsh_tuned": f"""
+WITH corpus AS ({_DOCS_MUT_DUCK}),
+shingled AS ({_SHINGLED_DUCK}),
+{_MINHASH_DUCK},
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {j} AS band, "
+      + " || '_' || ".join(
+          f"CAST(mh{j * 4 + i} AS VARCHAR)" for i in range(4))
+      + " AS sig FROM sigs"
+      for j in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingled a JOIN shingled b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.7
 """,
     "dedup_simhash": f"""
 WITH corpus AS ({_DOCS_MUT_DUCK}),

@@ -47,6 +47,8 @@ class BinlogTailer:
         max_files_per_trigger: int = 1,
         use_bloom: bool = True,
         assume_all_buckets: bool = False,
+        merge_on_read: bool = False,
+        compact_max_deltas: int | None = 8,
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -58,8 +60,16 @@ class BinlogTailer:
         # ~every bucket (backfill drains, high files/trigger), skip the
         # bucket-discovery pass; selective tails keep pruning (default).
         self.assume_all_buckets = assume_all_buckets
+        # Latency mode: merge-on-read delta appends (no stored-bucket
+        # rewrite per micro-batch) + policy-driven compaction that bounds
+        # read amplification. The compaction batch amortizes the rewrite
+        # tax over compact_max_deltas micro-batches.
+        self.merge_on_read = merge_on_read
+        self.compact_max_deltas = compact_max_deltas
         self.bloom_path = os.path.join(checkpoint_dir, "lsn_bloom.state")
         self._bloom: LsnBloom | None = None
+        self._bg = None  # lazy single-thread executor for async state IO
+        self._bg_save = None
         # Commit ids are namespaced by checkpoint identity: Spark batch
         # ids restart at 0 for a fresh checkpoint, and a bare "tail-0"
         # would collide with a previous run's commits and be skipped for
@@ -93,11 +103,38 @@ class BinlogTailer:
             return
         # Window the filter to the new HWM first, then chunk-add only the
         # in-window slice — O(min(batch, window)) driver work per batch,
-        # never a full-range materialization.
+        # never a full-range materialization. These IN-MEMORY updates are
+        # synchronous (the next batch's guard needs them); the npz DISK
+        # write is crash-recovery-only state, so it overlaps the next
+        # micro-batch on a background thread. The write works on a bits
+        # SNAPSHOT — never the live array the next batch keeps inserting
+        # into — because a torn on-disk bloom would yield false negatives
+        # after a crash-reload (a duplicate sneaking past layer 2 AND
+        # skipping layer 3). Losing the save entirely is safe: recovery
+        # rebuilds from manifest lineage.
         bloom.advance_window(int(lsn_range[1]))
         bloom.add_range(int(lsn_range[0]), int(lsn_range[1]))
         os.makedirs(self.checkpoint_dir, exist_ok=True)
-        bloom.save(self.bloom_path)
+        snap = LsnBloom(
+            n_bits=bloom.n_bits,
+            n_hashes=bloom.n_hashes,
+            covered_lo=bloom.covered_lo,
+        )
+        snap.bits = bloom.bits.copy()
+        if self._bg is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._bg = ThreadPoolExecutor(max_workers=1)
+        if self._bg_save is not None:
+            self._bg_save.result()  # serialize saves (atomic tmp+rename)
+        self._bg_save = self._bg.submit(snap.save, self.bloom_path)
+
+    def _flush_state(self) -> None:
+        """Block until the last async bloom save landed (call at drain
+        end / stream stop, before the checkpoint is considered done)."""
+        if self._bg_save is not None:
+            self._bg_save.result()
+            self._bg_save = None
 
     # -------------------------------------------------------------- run
     def _apply(self, batch_df, batch_id: int) -> None:
@@ -109,9 +146,25 @@ class BinlogTailer:
             f"tail-{self.ns}-{batch_id}",
             already_applied_filter=guard,
             assume_all_buckets=self.assume_all_buckets,
+            merge_mode="read" if self.merge_on_read else "write",
         )
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])
+        if (
+            self.merge_on_read
+            and self.compact_max_deltas is not None
+            and res.get("applied")
+        ):
+            # Metadata-only victim discovery (group pointers carry delta
+            # counts); a no-victim check costs O(#groups). The occasional
+            # compaction batch pays the bucket rewrite for the whole
+            # window — idempotent batch id, crash-replay safe.
+            c = self.lake.compact_deltas(
+                self.compact_max_deltas,
+                batch_id=f"compact-{self.ns}-{batch_id}",
+            )
+            if c["applied"]:
+                res = dict(res, compacted_buckets=c["buckets_compacted"])
         self.batch_results.append(res)
 
     def _stream(self):
@@ -134,6 +187,7 @@ class BinlogTailer:
             .start()
         )
         q.awaitTermination()
+        self._flush_state()
         return self.batch_results
 
     def run_processing_time(
@@ -165,6 +219,7 @@ class BinlogTailer:
         finally:
             progress = [p for p in q.recentProgress]
             q.stop()
+            self._flush_state()
         return {
             "batch_results": self.batch_results,
             "progress": progress,

@@ -9,33 +9,51 @@ This module supplies the engine-level equivalent with real atomicity:
 
 - Tables are ordinary LakeTables under ``<root>/<name>/``.
 - The catalog keeps its own manifest: a map ``table -> pinned manifest
-  version`` published via atomic rename, exactly like a table manifest.
+  version`` published via the SAME os.link CAS claim protocol the table
+  layer uses — two concurrent ``commit_multi`` calls (or a
+  ``create_table`` racing one) can never silently clobber each other's
+  catalog pointer; the loser REBASES on the winner's manifest.
 - ``commit_multi`` stages every table's snapshot first (per-table
   commits, idempotent on batch_id), then publishes ONE catalog manifest
-  pointing at all the new versions. A crash anywhere before that final
-  rename leaves the catalog pointing at the OLD version of every table —
+  pinning all the new versions. A crash anywhere before that final
+  claim leaves the catalog pointing at the OLD version of every table —
   readers never observe a partial transaction.
 - Replaying ``commit_multi`` after a crash is safe: tables that already
-  applied the batch are recognized (batch_id guard) and their committed
-  version is recovered from their manifest history, so the catalog
-  publish completes the transaction instead of double-applying.
+  applied the batch are recognized (batch_id guard + durable marker
+  ledger) and their committed version is recovered from their manifest
+  history, so the catalog publish completes the transaction instead of
+  double-applying.
+- Rebase rule: table histories are LINEAR (the table layer's own CAS),
+  so merging two concurrent catalog publishes is always safe — each
+  table pins ``max(winner's pin, ours)``, which contains both
+  transactions' effects. Content-level conflicts surface at the table
+  layer (CommitConflict from ``LakeTable.commit``) before the catalog
+  publish is ever attempted. Under concurrency a transaction is still
+  all-or-nothing, though it may become visible together with LATER
+  states of tables another writer advanced — the standard snapshot
+  semantics of a versioned catalog.
 
 Reads through the catalog (``read``) resolve the pinned version, not the
-table's own ``_latest`` pointer, so a half-landed transaction is
-invisible. Single catalog writer, many readers — same model as the
-table layer.
+table's own latest, so a half-landed transaction is invisible.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .lake import LakeTable, _atomic_write
+from .lake import (
+    CommitConflict,
+    LakeTable,
+    _atomic_write,
+    _load_json_cached,
+)
 
 
 class LakeCatalog:
@@ -48,7 +66,7 @@ class LakeCatalog:
     @classmethod
     def create(cls, spark: SparkSession, root: str) -> "LakeCatalog":
         cat = cls(spark, root)
-        os.makedirs(cat.catalog_dir, exist_ok=True)
+        os.makedirs(os.path.join(cat.catalog_dir, "batches"), exist_ok=True)
         cat._publish(
             {
                 "version": 1,
@@ -76,30 +94,92 @@ class LakeCatalog:
             self.spark, os.path.join(self.root, name), schema_ddl, key_cols,
             n_buckets,
         )
-        m = self.snapshot()
-        m["version"] += 1
-        m["parent"] = m["version"] - 1
-        m["tables"] = dict(m["tables"], **{name: 1})
-        m["committed_at"] = time.time()
-        self._publish(m)
-        return t
+        for _attempt in range(8):
+            cur = self.snapshot()
+            m = dict(cur)
+            m["version"] = cur["version"] + 1
+            m["parent"] = cur["version"]
+            m["tables"] = dict(cur["tables"], **{name: 1})
+            m["committed_at"] = time.time()
+            if self._claim(m):
+                return t
+        raise CommitConflict(f"lost 8 CAS races registering table {name}")
 
     # ------------------------------------------------------------ manifests
+    def _vname(self, version: int) -> str:
+        return f"v{version:08d}.json"
+
     def _publish(self, manifest: dict[str, Any]) -> None:
-        name = f"v{manifest['version']:08d}.json"
+        name = self._vname(manifest["version"])
         _atomic_write(
             os.path.join(self.catalog_dir, name), json.dumps(manifest, indent=1)
         )
         _atomic_write(os.path.join(self.catalog_dir, "_latest"), name)
 
+    def _claim(self, manifest: dict[str, Any]) -> bool:
+        """CAS publish (os.link create-if-absent), same protocol as
+        LakeTable._claim_version: the loser of a version race sees False
+        and rebases instead of silently overwriting the winner."""
+        name = self._vname(manifest["version"])
+        path = os.path.join(self.catalog_dir, name)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest, indent=1))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        os.remove(tmp)
+        _atomic_write(os.path.join(self.catalog_dir, "_latest"), name)
+        return True
+
+    def _latest_version(self) -> int:
+        hint = 0
+        try:
+            with open(os.path.join(self.catalog_dir, "_latest")) as f:
+                hint = int(f.read().strip()[1:-5])
+        except (FileNotFoundError, ValueError):
+            vs = self.versions()
+            if not vs:
+                raise FileNotFoundError(
+                    f"no catalog manifests under {self.catalog_dir}"
+                )
+            hint = vs[-1]
+        v = hint
+        while os.path.exists(
+            os.path.join(self.catalog_dir, self._vname(v + 1))
+        ):
+            v += 1
+        return v
+
     def snapshot(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
-            with open(os.path.join(self.catalog_dir, "_latest")) as f:
-                name = f.read().strip()
-        else:
-            name = f"v{version:08d}.json"
-        with open(os.path.join(self.catalog_dir, name)) as f:
-            return json.load(f)
+            version = self._latest_version()
+        return _load_json_cached(
+            os.path.join(self.catalog_dir, self._vname(version))
+        )
+
+    # ------------------------------------------------------- batch ledger
+    def _batch_marker(self, batch_id: str) -> str:
+        h = hashlib.md5(batch_id.encode()).hexdigest()
+        return os.path.join(self.catalog_dir, "batches", h[:2], h)
+
+    def _batch_applied(self, m: dict[str, Any], batch_id: str) -> bool:
+        return batch_id in m["applied_batch_ids"] or os.path.exists(
+            self._batch_marker(batch_id)
+        )
+
+    def _mark_batch_applied(self, batch_id: str) -> None:
+        p = self._batch_marker(batch_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            with open(p, "x"):
+                pass
+        except FileExistsError:
+            pass
 
     # ----------------------------------------------------------------- read
     def table(self, name: str) -> LakeTable:
@@ -120,6 +200,7 @@ class LakeCatalog:
         self,
         writes: dict[str, dict[str, Any]],
         batch_id: str,
+        max_retries: int = 8,
     ) -> bool:
         """Land one batch across several tables atomically (the engine
         analog of the reference's one-DBTx-many-tables Commit).
@@ -129,22 +210,23 @@ class LakeCatalog:
         "lsn_range": (lo, hi) | None, "metrics": {...}}``.
 
         Phase 1 stages each table's snapshot (data files + table
-        manifest). Phase 2 publishes one catalog manifest pinning every
-        new version. Crash before phase 2 => catalog still pins the old
-        version of EVERY table; re-running with the same batch_id
-        resumes (already-committed tables are recovered by batch_id) and
-        completes the publish. Returns False if the whole transaction
-        was already applied.
-        """
+        manifest). Phase 2 CAS-publishes one catalog manifest pinning
+        every new version; a lost race REBASES on the winner (pin =
+        max(winner, ours) per table — safe because table histories are
+        linear, see module docstring). Crash before phase 2 => catalog
+        still pins the old version of EVERY table; re-running with the
+        same batch_id resumes (already-committed tables are recovered by
+        batch_id) and completes the publish. Returns False if the whole
+        transaction was already applied."""
         cat = self.snapshot()
-        if batch_id in cat["applied_batch_ids"]:
+        if self._batch_applied(cat, batch_id):
             return False
-        pinned = dict(cat["tables"])
+        ours: dict[str, int] = {}
         for name, kw in writes.items():
             table = self.table(name)
             applied = table.commit(batch_id=f"{batch_id}/{name}", **kw)
             if applied:
-                pinned[name] = table.snapshot()["version"]
+                ours[name] = table.snapshot()["version"]
             else:
                 # crash-resume path: this table landed the batch in a
                 # previous attempt — pin the version that carries it.
@@ -154,17 +236,28 @@ class LakeCatalog:
                         f"table {name}: batch {batch_id} recorded as applied "
                         "but no manifest carries it (history expired?)"
                     )
-                pinned[name] = v
-        manifest = {
-            "version": cat["version"] + 1,
-            "parent": cat["version"],
-            "batch_id": batch_id,
-            "applied_batch_ids": (cat["applied_batch_ids"] + [batch_id])[-256:],
-            "committed_at": time.time(),
-            "tables": pinned,
-        }
-        self._publish(manifest)
-        return True
+                ours[name] = v
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if self._batch_applied(cur, batch_id):
+                return False
+            pinned = dict(cur["tables"])
+            for name, v in ours.items():
+                pinned[name] = max(v, pinned.get(name, 0))
+            manifest = {
+                "version": cur["version"] + 1,
+                "parent": cur["version"],
+                "batch_id": batch_id,
+                "applied_batch_ids": (cur["applied_batch_ids"] + [batch_id])[-256:],
+                "committed_at": time.time(),
+                "tables": pinned,
+            }
+            if self._claim(manifest):
+                self._mark_batch_applied(batch_id)
+                return True
+        raise CommitConflict(
+            f"lost {max_retries} CAS races publishing catalog batch {batch_id}"
+        )
 
     @staticmethod
     def _version_for_batch(table: LakeTable, batch_id: str) -> int | None:
@@ -187,12 +280,16 @@ class LakeCatalog:
         table version any retained catalog snapshot still references —
         a consistent multi-table time-travel window survives, everything
         older is GC'd."""
+        from .lake import _JSON_CACHE
+
         versions = self.versions()
         keep = versions[-keep_last:]
         removed = 0
         for v in versions:
             if v not in keep:
-                os.remove(os.path.join(self.catalog_dir, f"v{v:08d}.json"))
+                p = os.path.join(self.catalog_dir, self._vname(v))
+                _JSON_CACHE.pop(p, None)
+                os.remove(p)
                 removed += 1
         pinned: dict[str, set[int]] = {}
         for v in keep:

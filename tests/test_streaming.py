@@ -263,3 +263,39 @@ def test_windowed_agg_with_watermark_matches_batch(spark, tmp_path, binlog_pdf):
     rows = spark.sql("SELECT win_start, op, count(*) c FROM winagg "
                      "GROUP BY win_start, op HAVING count(*) > 1").collect()
     assert rows == []
+
+
+def test_stream_merge_on_read_converges_and_bounds_deltas(
+    spark, tmp_path, binlog_pdf
+):
+    """Merge-on-read tail: per-batch delta appends converge to the same
+    oracle state as merge-on-write, auto-compaction keeps every bucket's
+    delta count bounded by the policy, and a restart on the same
+    checkpoint resumes exactly-once."""
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    ckpt = str(tmp_path / "ckpt")
+    tailer = BinlogTailer(
+        spark, wal, lake, ckpt, max_files_per_trigger=1,
+        merge_on_read=True, compact_max_deltas=3,
+    )
+    results = tailer.run_available()
+    assert sum(r.get("events", 0) for r in results) == 600
+    assert any("compacted_buckets" in r for r in results)
+    # read amplification bounded: compaction fires when a bucket crosses
+    # the policy, so no bucket ever ends a drain far beyond it
+    max_deltas = max(
+        len(e["deltas"]) for e in lake.bucket_entries().values()
+    )
+    assert max_deltas <= 3
+    _check(lake, binlog_pdf)
+    # replay the whole WAL on a fresh checkpoint: every event redelivered,
+    # all rejected (exactly-once also in delta mode)
+    r2 = BinlogTailer(
+        spark, wal, lake, str(tmp_path / "ckpt2"), merge_on_read=True,
+    ).run_available()
+    assert sum(r.get("events", 0) for r in r2) == 0
+    _check(lake, binlog_pdf)
