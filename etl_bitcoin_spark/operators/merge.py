@@ -108,6 +108,7 @@ def _resolve_union(
     unioned: DataFrame,
     n_buckets: int | None,
     key_cols: list[str] | None = None,
+    lsn_stats=None,
 ) -> DataFrame:
     """Tombstone-aware LWW resolution over a union of candidate rows
     (stored winners, stored tombstones, change events, merge-on-read
@@ -139,6 +140,36 @@ def _resolve_union(
     order.append(F.col(LSN_COL).desc())
     w_ord = w.orderBy(*order)
     df = unioned.withColumn("__rn", F.row_number().over(w_ord))
+    has_evt = "__evt" in unioned.columns
+    if lsn_stats is not None:
+        # Global batch-lsn stats RIDE the resolution job (an
+        # Observation), so the caller needs no separate
+        # min/max/countDistinct pass over the batch. Exact-distinct
+        # trick: duplicate lsns are exact row duplicates (the same event
+        # redelivered), an lsn belongs to exactly one key, and the
+        # ranking sort makes identical rows ADJACENT — so lag(lsn) over
+        # the same (already-required) window ordering flags every extra
+        # copy; distinct = count - sum(flags). Stored rows (tagged
+        # __evt=false when present) never share an lsn with a surviving
+        # event (the guard killed those), so they can neither be flagged
+        # nor split a duplicate run. No extra shuffle, no extra sort, no
+        # second job.
+        evt = F.col("__evt") if has_evt else F.lit(True)
+        dup = (
+            F.coalesce(
+                F.col(LSN_COL) == F.lag(LSN_COL).over(w_ord), F.lit(False)
+            )
+            & evt
+        )
+        df = df.withColumn("__dupl", dup.cast("long")).observe(
+            lsn_stats,
+            F.min(F.when(evt, F.col(LSN_COL))).alias("lo"),
+            F.max(F.when(evt, F.col(LSN_COL))).alias("hi"),
+            F.sum(evt.cast("long")).alias("n_rows"),
+            F.sum("__dupl").alias("n_dup"),
+        ).drop("__dupl")
+    if has_evt:
+        df = df.drop("__evt")
     t = F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL))).over(w)
     df = df.withColumn("__t", t)
     live = ~F.col(DELETED_COL) & (
@@ -167,16 +198,26 @@ def events_as_rows(events: DataFrame) -> DataFrame:
 
 
 def merge_batch_direct(
-    stored: DataFrame, events: DataFrame, n_buckets: int | None = None
+    stored: DataFrame,
+    events: DataFrame,
+    n_buckets: int | None = None,
+    lsn_stats=None,
 ) -> DataFrame:
     """Fused merge: stored rows participate directly as pseudo-events
     (tombstones as D, winners as U with their original lsn), so the
     batch-summary window and the stored-merge window collapse into ONE
     shuffle. Exactly the algebra of lww_batch_summary +
     merge_summary_into, minus a stage barrier and a second pass of the
-    batch through the exchange."""
+    batch through the exchange. With ``lsn_stats`` the batch's lsn stats
+    ride the merge job (events tagged, stored rows excluded)."""
     st_rows = stored.select(*KEY_COLS, *VALUE_COLS, LSN_COL, DELETED_COL)
-    return _resolve_union(st_rows.unionByName(events_as_rows(events)), n_buckets)
+    ev_rows = events_as_rows(events)
+    if lsn_stats is not None:
+        st_rows = st_rows.withColumn("__evt", F.lit(False))
+        ev_rows = ev_rows.withColumn("__evt", F.lit(True))
+    return _resolve_union(
+        st_rows.unionByName(ev_rows), n_buckets, lsn_stats=lsn_stats
+    )
 
 
 def merge_summary_into(
@@ -318,6 +359,90 @@ def apply_batch(
         # ranges, so everything at or below the HWM is a duplicate.
         ev = ev.filter(F.col("lsn") > F.lit(hwm))
 
+    if merge_mode == "read":
+        # Merge-on-read latency path: ONE Spark job per micro-batch.
+        # Per-key summaries (the resolution window) append as delta
+        # files; the global lsn stats (lo/hi/exact distinct) RIDE that
+        # same job via an Observation (see _resolve_union lsn_stats) —
+        # no stored-state read, no bucket-discovery job, no separate
+        # stats aggregation, no cache materialization.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        content = _resolve_union(
+            events_as_rows(ev), None, lsn_stats=obs
+        ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
+        out: dict[str, Any] = {}
+
+        def _lineage():
+            got = obs.get
+            n_rows = int(got["n_rows"] or 0)
+            n = n_rows - int(got["n_dup"] or 0)
+            out["events"] = n
+            if n == 0:
+                return None, None
+            lo, hi = int(got["lo"]), int(got["hi"])
+            out["lsn_range"] = [lo, hi]
+            if lsn_range_hint is not None:
+                return lsn_range_hint, None
+            if n == hi - lo + 1:
+                return (lo, hi), None
+            # sparse late batch (rare path): exact islands, extra job
+            return None, sparse_lsn_islands(ev.select("lsn").distinct())
+
+        ok = lake.commit(
+            content,
+            [],
+            batch_id,
+            metrics={"merge_mode": "read"},
+            mode="delta",
+            lineage_fn=_lineage,
+        )
+        return {"applied": ok, **out}
+
+    if assume_all_buckets and lsn_range_hint is None:
+        # Single-job bulk-stream path (merge-on-write): every bucket is
+        # touched, so there is no discovery to do — and the batch's lsn
+        # stats ride the MERGE job itself (events tagged __evt inside
+        # merge_batch_direct, Observation collects lo/hi/exact distinct).
+        # One pass per micro-batch total: no cache materialization, no
+        # separate stats aggregation. A fully-duplicate redelivered
+        # batch (n=0) rewrites identical bucket content instead of
+        # no-op'ing early — rare (crash replay) and harmless; selective
+        # tails keep the cheap early exit below.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        affected = list(range(n_buckets))
+        stored = lake.read(version=snap["version"], buckets=affected)
+        merged = merge_batch_direct(
+            stored, ev, n_buckets, lsn_stats=obs
+        ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
+        out: dict[str, Any] = {}
+
+        def _lineage():
+            got = obs.get
+            n_rows = int(got["n_rows"] or 0)
+            n = n_rows - int(got["n_dup"] or 0)
+            out["events"] = n
+            if n == 0:
+                return None, None
+            lo, hi = int(got["lo"]), int(got["hi"])
+            out["lsn_range"] = [lo, hi]
+            if n == hi - lo + 1:
+                return (lo, hi), None
+            return None, sparse_lsn_islands(ev.select("lsn").distinct())
+
+        ok = lake.commit(
+            merged,
+            affected,
+            batch_id,
+            metrics={"buckets_touched": n_buckets},
+            base_version=snap["version"],
+            lineage_fn=_lineage,
+        )
+        return {"applied": ok, "buckets": affected, **out}
+
     cached = False
     try:
         if lsn_range_hint is not None:
@@ -340,7 +465,7 @@ def apply_batch(
                 F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
                 F.countDistinct("lsn").alias("n"),
             ]
-            if not assume_all_buckets and merge_mode != "read":
+            if not assume_all_buckets:
                 aggs.append(
                     F.collect_set(
                         lake.bucket_expr(n_buckets, KEY_COLS)
@@ -364,25 +489,6 @@ def apply_batch(
         sub_ranges = None
         if lsn_range_hint is None and n != hi - lo + 1:
             sub_ranges = sparse_lsn_islands(ev.select("lsn").distinct())
-
-        if merge_mode == "read":
-            # Merge-on-read: append per-key batch summaries as delta
-            # files. One shuffle (the summary window), no stored read,
-            # no bucket discovery (the partitionBy write discovers the
-            # touched buckets as a side effect of writing them).
-            content = _resolve_union(events_as_rows(ev), None).withColumn(
-                BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)
-            )
-            ok = lake.commit(
-                content,
-                [],
-                batch_id,
-                lsn_range=None if sub_ranges is not None else (lo, hi),
-                lsn_ranges=sub_ranges,
-                metrics={"events": n, "merge_mode": "read"},
-                mode="delta",
-            )
-            return {"applied": ok, "events": n, "lsn_range": [lo, hi]}
 
         if assume_all_buckets:
             # Bulk path: a large batch touches every bucket — skip the

@@ -140,8 +140,13 @@ def main() -> None:
     )
     wal = _wal_dir(N_EVENTS, spark)
     reports = {}
+    n_runs = int(os.environ.get("LAT_RUNS", "1"))
     for merge_on_read in (False, True):
-        r = run_mode(spark, wal, merge_on_read)
+        # best-of-N by p50 (same shared-host noise rejection as the
+        # throughput benches); every run's p50 is recorded alongside.
+        runs = [run_mode(spark, wal, merge_on_read) for _ in range(n_runs)]
+        r = min(runs, key=lambda x: x["batch_latency_sec"]["p50"] or 1e9)
+        r["all_p50s"] = [x["batch_latency_sec"]["p50"] for x in runs]
         reports[r["mode"]] = r
         print(json.dumps(r))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -183,6 +188,11 @@ def main() -> None:
         row("compaction batches", lambda r: r["compaction_batches"], "{:.0f}"),
         row("final max deltas/bucket",
             lambda r: r["final_max_deltas_per_bucket"], "{:.0f}"),
+        "",
+        f"Best-of-{len(reports['merge_on_read'].get('all_p50s', [1]))} by p50 "
+        "(shared-host noise; all runs' p50s recorded in latency.json: "
+        f"write={reports['merge_on_write'].get('all_p50s')}, "
+        f"read={reports['merge_on_read'].get('all_p50s')}).",
         "",
         "merge-on-write pays the touched buckets' stored-row rewrite every "
         "batch (throughput-optimal for big drains); merge-on-read removes "
