@@ -155,16 +155,34 @@ def bench_stream_tail(spark) -> dict:
     lake_dir = tempfile.mkdtemp(prefix="bench_slake_", dir=base)
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir=base)
     try:
+        n_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
+        # Warmup drain, symmetric with bench_replay's warm lake: the
+        # FIRST streaming trigger pays ~5-7s of one-time cost (stream
+        # codegen, file-index init, python-runner spin-up) that a real
+        # deployment amortizes to zero — measured: first batch 9.9s vs
+        # 2.5-3.1s warm on the same input. Steady state is the number.
+        warm_wal = _wal_dir(50_000)
+        warm_lake_dir = tempfile.mkdtemp(prefix="bench_swarm_", dir=base)
+        warm_ckpt = tempfile.mkdtemp(prefix="bench_swarmc_", dir=base)
+        warm_lake = LakeTable.create(
+            spark, warm_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, n_buckets
+        )
+        BinlogTailer(
+            spark, warm_wal, warm_lake, warm_ckpt, max_files_per_trigger=8,
+            assume_all_buckets=True,
+        ).run_available()
+        shutil.rmtree(warm_lake_dir, ignore_errors=True)
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
         lake = LakeTable.create(
-            spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS,
-            int(os.environ.get("BENCH_BUCKETS", "64")),
+            spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, n_buckets
         )
         t0 = time.time()
         results = BinlogTailer(
             spark, wal, lake, ckpt, max_files_per_trigger=8,
             # 8 segments/trigger = ~500k events/batch: every batch touches
-            # every bucket, so the bulk-drain mode (skip bucket discovery)
-            # is the correct configuration for this workload shape
+            # every bucket, so the bulk-drain mode (single-job merge with
+            # lsn stats riding the merge, no discovery) is the correct
+            # configuration for this workload shape
             assume_all_buckets=True,
         ).run_available()
         wall = time.time() - t0
@@ -181,16 +199,18 @@ def bench_stream_tail(spark) -> dict:
 
 
 def main() -> None:
-    # Measured on this host: single-JVM local[] throughput peaks at ~8
-    # threads and REGRESSES beyond (GC/alloc contention; local[32] is 3x
-    # slower than local[8] — see BENCH/BASELINE.md). Cap the worker
-    # threads at the knee; the requested count is still reported.
+    # Thread knee re-measured post single-sort + 16g-heap fixes
+    # (scripts/bench_knee.py -> BENCH/knee.json, 2M-event replay,
+    # best/median of 3): local[8] 169k, local[24] 195k/183k, local[32]
+    # 193k/188k ev/s. The round-1 "local[32] is 3x slower" pathology is
+    # FIXED (it was G1 young-gen ballooning at 96g heap); 24-32 threads
+    # now lead by ~15%, so the cap defaults to the full request.
     requested = default_parallelism()
     if "SPARK_GRAFT_MASTER" in os.environ:
         # scaling harness owns the deployment shape — don't second-guess
         cores = requested
     else:
-        cores = min(requested, int(os.environ.get("BENCH_MAX_THREADS", "8")))
+        cores = min(requested, int(os.environ.get("BENCH_MAX_THREADS", "32")))
     spark = get_spark(
         "bench",
         cores=cores,
