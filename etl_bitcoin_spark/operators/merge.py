@@ -220,6 +220,62 @@ def merge_batch_direct(
     )
 
 
+def merge_batch_agg(
+    stored: DataFrame, events: DataFrame, n_buckets: int | None = None
+) -> DataFrame:
+    """Hash-aggregation formulation of the merge — the UPDATE-STORM
+    strategy. Same algebra as merge_batch_direct (winner + retained
+    tombstone per key), different physical plan: a two-phase hash
+    aggregate with map-side partial combine instead of a key-partitioned
+    window sort. When a batch carries many events per key (hot
+    conversation, narrow lsn window), partial aggregation collapses the
+    shuffle to ~1 row/key/task and wins big; at ~1 event/key the extra
+    join + agg exchanges lose to the single window sort.
+
+    Measured (scripts/spike_hotkey.py, 5M events / <=5000 keys /
+    hot_share=0.5, best of 3): agg 1.91 s vs window 3.57 s (1.9x).
+    Round-1 spike at ~1 event/key: agg 3.48 s vs window 2.42 s — hence
+    a strategy knob (apply_batch merge_strategy), window by default.
+
+    LWW ordering note: max_by(payload, struct(ts, lsn)) compares
+    (ts, lsn) lexicographically == the window's (ts desc, lsn desc)
+    ranking; null ts sorts lowest in both formulations."""
+    keys = KEY_COLS
+    st_rows = stored.select(*KEY_COLS, *VALUE_COLS, LSN_COL, DELETED_COL)
+    rows = st_rows.unionByName(events_as_rows(events))
+    if n_buckets is not None:
+        rows = rows.repartition(n_buckets, *keys)
+    t = (
+        rows.filter(F.col(DELETED_COL))
+        .groupBy(*keys)
+        .agg(F.max(LSN_COL).alias("__t"))
+    )
+    live = (
+        rows.filter(~F.col(DELETED_COL))
+        .join(t, keys, "left")
+        .filter(F.col(LSN_COL) > F.coalesce(F.col("__t"), F.lit(-1)))
+    )
+    payload = F.struct(*VALUE_COLS, F.col(LSN_COL))
+    order = F.struct(F.col("ts"), F.col(LSN_COL))
+    winners = (
+        live.groupBy(*keys)
+        .agg(F.max_by(payload, order).alias("w"))
+        .select(
+            *keys,
+            *[F.col(f"w.{c}").alias(c) for c in VALUE_COLS],
+            F.col(f"w.{LSN_COL}").alias(LSN_COL),
+            F.lit(False).alias(DELETED_COL),
+        )
+    )
+    tombs = t.select(
+        *keys,
+        *[F.lit(None).cast(d).alias(c) for c, d in _value_types(stored)],
+        F.col("__t").alias(LSN_COL),
+        F.lit(True).alias(DELETED_COL),
+    )
+    return winners.unionByName(tombs)
+
+
 def merge_summary_into(
     stored: DataFrame, summary: DataFrame, n_buckets: int | None = None
 ) -> DataFrame:
@@ -318,6 +374,7 @@ def apply_batch(
     assume_all_buckets: bool = False,
     lsn_range_hint: tuple[int, int] | None = None,
     merge_mode: str = "write",
+    merge_strategy: str = "window",
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the lake table.
 
@@ -400,7 +457,7 @@ def apply_batch(
         )
         return {"applied": ok, **out}
 
-    if assume_all_buckets and lsn_range_hint is None:
+    if assume_all_buckets and lsn_range_hint is None and merge_strategy == "window":
         # Single-job bulk-stream path (merge-on-write): every bucket is
         # touched, so there is no discovery to do — and the batch's lsn
         # stats ride the MERGE job itself (events tagged __evt inside
@@ -509,7 +566,15 @@ def apply_batch(
         # Pin the stored read to the snapshot version the guard saw, so
         # commit's base_version check is exact under concurrent writers.
         stored = lake.read(version=snap["version"], buckets=affected)
-        merged = merge_batch_direct(stored, ev, n_buckets).withColumn(
+        # merge_strategy: "window" (single-sort resolution, wins at ~1
+        # event/key) vs "agg" (two-phase hash aggregate with map-side
+        # combine, 1.9x faster under hot-key update storms — see
+        # merge_batch_agg docstring for the measured crossover).
+        merge_fn = (
+            merge_batch_direct if merge_strategy == "window"
+            else merge_batch_agg
+        )
+        merged = merge_fn(stored, ev, n_buckets).withColumn(
             BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)
         )
         ok = lake.commit(

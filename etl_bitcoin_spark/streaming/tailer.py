@@ -49,6 +49,7 @@ class BinlogTailer:
         assume_all_buckets: bool = False,
         merge_on_read: bool = False,
         compact_max_deltas: int | None = 8,
+        merge_strategy: str = "window",
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -66,6 +67,9 @@ class BinlogTailer:
         # tax over compact_max_deltas micro-batches.
         self.merge_on_read = merge_on_read
         self.compact_max_deltas = compact_max_deltas
+        # "window" (default) or "agg" — the update-storm strategy; see
+        # operators.merge.merge_batch_agg for the measured crossover.
+        self.merge_strategy = merge_strategy
         self.bloom_path = os.path.join(checkpoint_dir, "lsn_bloom.state")
         self._bloom: LsnBloom | None = None
         self._bg = None  # lazy single-thread executor for async state IO
@@ -147,6 +151,7 @@ class BinlogTailer:
             already_applied_filter=guard,
             assume_all_buckets=self.assume_all_buckets,
             merge_mode="read" if self.merge_on_read else "write",
+            merge_strategy=self.merge_strategy,
         )
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])

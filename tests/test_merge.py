@@ -318,3 +318,42 @@ def test_sparse_islands_distributed_no_global_window(spark):
     )
     assert d.rdd.getNumPartitions() > 1
     assert "Window" not in d._jdf.queryExecution().executedPlan().toString()
+
+
+def test_agg_strategy_equals_window_and_oracle(spark, tmp_lake_dir, tmp_path):
+    """merge_strategy="agg" (update-storm hash-agg formulation) must
+    produce exactly the state of the default window formulation AND the
+    golden sequential replay — including deletes, ts collisions, and a
+    hot key with high per-batch multiplicity."""
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.tableformat.lake import LakeTable
+
+    spec = BinlogSpec(
+        seed=31, n_convs=12, max_turns=8, n_events=2500,
+        delete_rate=0.15, hot_share=0.5, n_hot=1, ts_collision_rate=0.3,
+    )
+    pdf = generate_binlog(spec)
+    ev_all = spark.createDataFrame(pdf.drop(columns=["seg", "evolved"]), BINLOG_DDL)
+
+    def replay_with(strategy, root):
+        lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, 4)
+        for i in range(4):
+            lo, hi = i * 625, i * 625 + 624
+            chunk = ev_all.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+            apply_batch(lake, chunk, f"{strategy}-{i}",
+                        lsn_range_hint=(lo, hi), merge_strategy=strategy)
+        return lake
+
+    lw = replay_with("window", str(tmp_path / "w"))
+    la = replay_with("agg", str(tmp_path / "a"))
+    got_w = _norm(_final(lw))
+    got_a = _norm(_final(la))
+    want = _norm(oracle_replay(pdf))
+    pd.testing.assert_frame_equal(got_w, want)
+    pd.testing.assert_frame_equal(got_a, want)
+    # stored physical state identical too (winners + retained tombstones)
+    cols = [*KEY_COLS, "__lsn", "__deleted"]
+    sw = sorted(tuple(r) for r in lw.read().select(*cols).collect())
+    sa = sorted(tuple(r) for r in la.read().select(*cols).collect())
+    assert sw == sa
