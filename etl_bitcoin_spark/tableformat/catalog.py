@@ -274,7 +274,9 @@ class LakeCatalog:
                 out.append(int(n[1:-5]))
         return sorted(out)
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict[str, Any]:
+    def expire_snapshots(
+        self, keep_last: int = 10, orphan_grace_sec: float | None = None
+    ) -> dict[str, Any]:
         """Catalog-coordinated expiry: trim catalog snapshots to the last
         ``keep_last``, then expire each member table while PINNING every
         table version any retained catalog snapshot still references —
@@ -299,6 +301,7 @@ class LakeCatalog:
         table_stats = {}
         for name, pins in pinned.items():
             table_stats[name] = self.table(name).expire_snapshots(
-                keep_last=1, pinned_versions=pins
+                keep_last=1, pinned_versions=pins,
+                orphan_grace_sec=orphan_grace_sec,
             )
         return {"catalog_snapshots_removed": removed, "tables": table_stats}

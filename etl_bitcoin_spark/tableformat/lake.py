@@ -292,7 +292,7 @@ class LakeTable:
         and bucket manifests those buckets live in."""
         m = self.snapshot(version)
         want = None if buckets is None else {str(b) for b in buckets}
-        out: dict[str, dict[str, Any]] = {}
+        ptrs: dict[str, dict[str, Any]] = {}
         for gid in m["groups"]:
             if want is not None:
                 lo = int(gid) * m["group_size"]
@@ -300,8 +300,19 @@ class LakeTable:
                     continue
             for b, ptr in self._load_gm(m, gid).items():
                 if want is None or b in want:
-                    out[b] = self._load_bm(ptr)
-        return out
+                    ptrs[b] = ptr
+        # Cold full reads of a large table load thousands of small bm
+        # JSONs — parallelize the file IO (cache hits stay in-line).
+        cold = [
+            (b, p) for b, p in ptrs.items()
+            if os.path.join(self.manifest_dir, p["m"]) not in _JSON_CACHE
+        ]
+        if len(cold) > 64:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                list(ex.map(lambda bp: self._load_bm(bp[1]), cold))
+        return {b: self._load_bm(p) for b, p in ptrs.items()}
 
     # ------------------------------------------------------- batch ledger
     def _batch_marker(self, batch_id: str) -> str:

@@ -148,3 +148,49 @@ def test_delta_mode_exactly_once_replay(spark, tmp_path, binlog_pdf):
     assert sum(
         len(e["deltas"]) for e in lake.bucket_entries().values()
     ) == n_deltas
+
+
+def test_delta_apply_is_one_spark_job(spark, tmp_path, binlog_pdf):
+    """Mechanism assert for the latency path: a merge-on-read micro-batch
+    runs exactly ONE Spark job (the summary-window + delta write; lsn
+    stats ride it as an Observation) — no stats aggregation job, no
+    cache materialization, no bucket-discovery job."""
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    chunk = binlog_pdf[binlog_pdf["lsn"] < 500]
+    ev = _spark_binlog(spark, chunk)
+    sc = spark.sparkContext
+    # AQE splits ONE action into per-stage jobs; disable it so the probe
+    # counts actions (what the mechanism claim is about), not stages.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("delta-one-job", "mechanism probe")
+    try:
+        r = apply_batch(lake, ev, "jb0", merge_mode="read")
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert r["applied"] and r["events"] > 0
+    jobs = sc.statusTracker().getJobIdsForGroup("delta-one-job")
+    assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}: {jobs}"
+
+
+def test_bulk_stream_write_apply_is_one_spark_job(spark, tmp_path, binlog_pdf):
+    """Same mechanism assert for the bulk streaming merge-on-write path
+    (assume_all_buckets): the merge/write job is the only job."""
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    chunk = binlog_pdf[binlog_pdf["lsn"] < 500]
+    ev = _spark_binlog(spark, chunk)
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("bulk-one-job", "mechanism probe")
+    try:
+        r = apply_batch(lake, ev, "jb1", assume_all_buckets=True)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert r["applied"] and r["events"] > 0
+    jobs = sc.statusTracker().getJobIdsForGroup("bulk-one-job")
+    assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}: {jobs}"
