@@ -281,9 +281,29 @@ def q_cdc_lww_apply_mor(spark, sf_dir):
     )
 
 
+def q_cdc_windowed_op_counts(spark, sf_dir):
+    """The streaming windowed-agg OPERATOR (streaming/stateful.py:
+    windowed_op_counts — tumbling event-time windows + watermark) under
+    an oracle gate: in batch mode the watermark is a no-op and the
+    tumbling window is exactly date_trunc('minute'), so the SAME
+    operator function is checkable against plain SQL."""
+    from ..streaming.stateful import windowed_op_counts
+
+    b = derived_binlog(spark, sf_dir)
+    w = windowed_op_counts(b, "1 minute", "2 minutes")
+    return w.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start_str"
+        ),
+        "op",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 QUERIES = {
     "cdc_binlog_derive": q_cdc_binlog_derive,
     "cdc_lww_apply_mor": q_cdc_lww_apply_mor,
+    "cdc_windowed_op_counts": q_cdc_windowed_op_counts,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
     "cdc_lww_tiebreak": q_cdc_lww_tiebreak,
@@ -332,6 +352,14 @@ UNION ALL SELECT * FROM edges UNION ALL SELECT * FROM lin
     # the merge-on-read lake replay must converge to the SAME final
     # state the sequential-replay SQL describes
     "cdc_lww_apply_mor": _LWW_SQL,
+    "cdc_windowed_op_counts": f"""
+WITH binlog AS ({_BINLOG_SQL})
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start_str,
+       op,
+       CAST(count(*) AS BIGINT) AS n
+FROM binlog GROUP BY 1, 2
+""",
     "cdc_lww_tiebreak": f"""
 WITH binlog AS (
   SELECT lsn, op, conv_id, turn_idx, date_trunc('hour', ts) AS ts

@@ -128,7 +128,32 @@ def _atomic_write(path: str, payload: str) -> None:
 
 
 def _empty_bm() -> dict[str, Any]:
-    return {"files": [], "rows": 0, "deltas": [], "delta_rows": 0}
+    return {
+        "files": [], "rows": 0, "deltas": [], "delta_rows": 0,
+        "file_stats": {},
+    }
+
+
+def _footer_lsn_stats(md) -> list[int] | None:
+    """[min, max] of the __lsn column from parquet row-group statistics
+    — free at footer-read time; powers manifest-level FILE SKIPPING for
+    lsn-bounded scans (the Iceberg data-skipping pattern: prune files
+    before opening them, on top of Spark's own row-group pruning)."""
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema != LSN_COL:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return [int(lo), int(hi)]
 
 
 class CommitConflict(RuntimeError):
@@ -344,24 +369,48 @@ class LakeTable:
         buckets: list[int] | None = None,
         user_cols: bool = False,
         resolve_deltas: bool = True,
+        lsn_range: tuple[int | None, int | None] | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``buckets`` prunes to those buckets only —
         the MERGE's partition-pruning fast path (only touched buckets are
         scanned, the rest of the 100 TB is never read). Buckets carrying
         merge-on-read delta files are resolved with the LWW+tombstone
         algebra (one key-partitioned window) unless ``resolve_deltas``
-        is False (raw base rows only — maintenance use)."""
+        is False (raw base ∪ delta rows, unresolved — maintenance use).
+
+        ``lsn_range=(lo, hi)`` (either side None-open) is manifest-level
+        FILE SKIPPING for lsn-bounded RAW scans: files whose footer
+        [min,max] __lsn range (recorded at commit time) cannot intersect
+        the requested range are never opened — on top of Spark's own
+        row-group pruning. Implies a raw scan (no delta resolution:
+        resolution needs every candidate row of a key, so pruned input
+        would change its meaning); intended for maintenance scans like
+        tombstone-compaction victim discovery and lsn-bounded audits."""
         m = self.snapshot(version)
         entries = self.bucket_entries(version=m["version"], buckets=buckets)
+        if lsn_range is not None:
+            resolve_deltas = False
+            lo = -(1 << 62) if lsn_range[0] is None else lsn_range[0]
+            hi = (1 << 62) if lsn_range[1] is None else lsn_range[1]
+
+            def _keep(e, f):
+                st = e.get("file_stats", {}).get(f)
+                return st is None or (st[0] <= hi and st[1] >= lo)
+        else:
+            def _keep(e, f):
+                return True
+
         base_files = [
             os.path.join(self.root, f)
             for e in entries.values()
             for f in e["files"]
+            if _keep(e, f)
         ]
         delta_files = [
             os.path.join(self.root, f)
             for e in entries.values()
             for f in e["deltas"]
+            if _keep(e, f)
         ]
         schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
 
@@ -376,18 +425,22 @@ class LakeTable:
             )
 
         df = _scan(base_files)
-        if delta_files and resolve_deltas:
-            # Merge-on-read: base winners/tombstones vs delta batch
-            # summaries resolve with EXACTLY the merge algebra — the
-            # resolved read equals what merge-on-write would have stored
-            # (see operators/merge.py module docstring for the proof).
-            from ..operators.merge import _resolve_union
+        if delta_files:
+            if resolve_deltas:
+                # Merge-on-read: base winners/tombstones vs delta batch
+                # summaries resolve with EXACTLY the merge algebra — the
+                # resolved read equals what merge-on-write would have
+                # stored (see operators/merge.py docstring for the proof).
+                from ..operators.merge import _resolve_union
 
-            df = _resolve_union(
-                df.unionByName(_scan(delta_files)),
-                None,
-                key_cols=m["key_cols"],
-            )
+                df = _resolve_union(
+                    df.unionByName(_scan(delta_files)),
+                    None,
+                    key_cols=m["key_cols"],
+                )
+            else:
+                # raw maintenance scan: base ∪ delta rows, unresolved
+                df = df.unionByName(_scan(delta_files))
         # BUCKET_COL is a pure function of the key columns — re-derive it
         # instead of parsing paths (robust to any directory layout).
         df = df.withColumn(
@@ -488,14 +541,21 @@ class LakeTable:
 
             def _meta(item):
                 b, entry, fn = item
-                n = pq.read_metadata(os.path.join(out_dir, entry, fn)).num_rows
-                return b, os.path.join(rel, entry, fn), n
+                md = pq.read_metadata(os.path.join(out_dir, entry, fn))
+                return (
+                    b, os.path.join(rel, entry, fn), md.num_rows,
+                    _footer_lsn_stats(md),
+                )
 
             with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
-                for b, relpath, n in ex.map(_meta, work):
-                    info = per_bucket.setdefault(b, {"files": [], "rows": 0})
+                for b, relpath, n, st in ex.map(_meta, work):
+                    info = per_bucket.setdefault(
+                        b, {"files": [], "rows": 0, "stats": {}}
+                    )
                     info["files"].append(relpath)
                     info["rows"] += n
+                    if st is not None:
+                        info["stats"][relpath] = st
         else:
             # scale path: read footers ON THE EXECUTORS — one tiny job,
             # wall time flat in bucket count (a 4096-bucket commit reads
@@ -507,25 +567,57 @@ class LakeTable:
                 "b string, abspath string, relpath string",
             )
 
+            lsn_col = LSN_COL
+
             def _read_footers(batches):
+                # self-contained closure (pyarrow only): survives pickling
+                # to python workers regardless of how the driver found
+                # this package (see state.py bloom UDF for the same rule)
                 import pyarrow.parquet as _pq
+
+                def _stats(md):
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        for ci in range(g.num_columns):
+                            col = g.column(ci)
+                            if col.path_in_schema != lsn_col:
+                                continue
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                return None
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                    return None if lo is None else (int(lo), int(hi))
 
                 for pdf in batches:
                     pdf = pdf.copy()
-                    pdf["rows"] = [
-                        _pq.read_metadata(p).num_rows for p in pdf["abspath"]
-                    ]
-                    yield pdf[["b", "relpath", "rows"]]
+                    rows, los, his = [], [], []
+                    for p in pdf["abspath"]:
+                        md = _pq.read_metadata(p)
+                        rows.append(md.num_rows)
+                        st = _stats(md)
+                        los.append(None if st is None else st[0])
+                        his.append(None if st is None else st[1])
+                    pdf["rows"], pdf["lsn_lo"], pdf["lsn_hi"] = rows, los, his
+                    yield pdf[["b", "relpath", "rows", "lsn_lo", "lsn_hi"]]
 
             stats = meta_rows.repartition(
                 min(len(work), 2 * int(self.spark.sparkContext.defaultParallelism))
             ).mapInPandas(
-                _read_footers, "b string, relpath string, rows long"
+                _read_footers,
+                "b string, relpath string, rows long, lsn_lo long, lsn_hi long",
             ).collect()
             for r in stats:
-                info = per_bucket.setdefault(r["b"], {"files": [], "rows": 0})
+                info = per_bucket.setdefault(
+                    r["b"], {"files": [], "rows": 0, "stats": {}}
+                )
                 info["files"].append(r["relpath"])
                 info["rows"] += int(r["rows"])
+                if r["lsn_lo"] is not None:
+                    info["stats"][r["relpath"]] = [
+                        int(r["lsn_lo"]), int(r["lsn_hi"])
+                    ]
         for info in per_bucket.values():
             info["files"].sort()
         if lineage_fn is not None:
@@ -574,6 +666,7 @@ class LakeTable:
                             "rows": info["rows"],
                             "deltas": [],
                             "delta_rows": 0,
+                            "file_stats": info.get("stats", {}),
                         }
                     else:
                         new_ptrs.setdefault(b, None)
@@ -585,6 +678,10 @@ class LakeTable:
                         "rows": cur_bm["rows"] + info["rows"],
                         "deltas": cur_bm["deltas"],
                         "delta_rows": cur_bm["delta_rows"],
+                        "file_stats": {
+                            **cur_bm.get("file_stats", {}),
+                            **info.get("stats", {}),
+                        },
                     }
                 else:  # delta
                     cur_bm = self._load_bm(self._bucket_pointer(cur, b))
@@ -593,6 +690,10 @@ class LakeTable:
                         "rows": cur_bm["rows"],
                         "deltas": sorted(cur_bm["deltas"] + info["files"]),
                         "delta_rows": cur_bm["delta_rows"] + info["rows"],
+                        "file_stats": {
+                            **cur_bm.get("file_stats", {}),
+                            **info.get("stats", {}),
+                        },
                     }
                 new_ptrs[b] = {
                     "m": self._write_node("bm", bm),
@@ -952,9 +1053,16 @@ class LakeTable:
         metadata-only."""
         snap = self.snapshot()
         victim = F.col(DELETED_COL) & (F.col(LSN_COL) <= F.lit(horizon_lsn))
+        # Victim discovery is a RAW lsn-bounded scan: manifest file-stats
+        # skip every file whose lsns all exceed the horizon (it cannot
+        # hold a compactable tombstone) before Spark even opens it. The
+        # raw scan over-approximates on merge-on-read tables (a delta
+        # may supersede a base tombstone) — safe: it only selects
+        # buckets to rewrite, and the rewrite below is a full resolved
+        # read.
         affected = [
             r[BUCKET_COL]
-            for r in self.read()
+            for r in self.read(lsn_range=(None, horizon_lsn))
             .filter(victim)
             .select(BUCKET_COL)
             .distinct()

@@ -233,3 +233,44 @@ def test_latest_resolution_survives_stale_or_missing_hint(spark, tmp_path):
     assert lake.snapshot()["version"] == v
     os.remove(latest_path)
     assert lake.snapshot()["version"] == v
+
+
+def test_file_stats_enable_lsn_file_skipping(spark, tmp_path):
+    """Per-file __lsn min/max recorded at commit time (from parquet
+    footers) let lsn-bounded raw scans SKIP files at the manifest level
+    — the Iceberg data-skipping pattern. Three commits at disjoint lsn
+    ranges; a bounded read must open only the intersecting files and
+    return exactly the rows a full scan + filter would."""
+    from pyspark.sql import functions as F
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 2
+    )
+    for i, lsn0 in enumerate((0, 1000, 2000)):
+        rows = [
+            _one_key_content(spark, lake, f"c{i}-{j}", f"t{j}", lsn0 + j, 2)
+            for j in range(3)
+        ]
+        content = rows[0]
+        for r in rows[1:]:
+            content = content.unionByName(r)
+        assert lake.commit(content, [], f"b{i}", (lsn0, lsn0 + 2),
+                           mode="append")
+    # stats recorded for every file
+    entries = lake.bucket_entries()
+    n_files = sum(len(e["files"]) for e in entries.values())
+    n_stats = sum(len(e["file_stats"]) for e in entries.values())
+    assert n_files == n_stats > 0
+    full = lake.read(resolve_deltas=False)
+    bounded = lake.read(lsn_range=(1000, 1002))
+    assert len(bounded.inputFiles()) < len(full.inputFiles())
+    got = sorted(r["conv_id"] for r in bounded.collect())
+    want = sorted(
+        r["conv_id"]
+        for r in full.filter(
+            (F.col("__lsn") >= 1000) & (F.col("__lsn") <= 1002)
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+    # open-ended bound + compaction discovery path still correct
+    assert lake.read(lsn_range=(None, 2)).count() == 3
