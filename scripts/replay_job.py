@@ -50,6 +50,14 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--shuffle-partitions", type=int, default=256)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--merge-on-read", action="store_true",
+                   help="streaming latency mode: delta appends + policy "
+                        "compaction instead of per-batch bucket rewrites")
+    p.add_argument("--compact-max-deltas", type=int, default=8)
+    p.add_argument("--merge-strategy", choices=("window", "agg"),
+                   default="window",
+                   help="agg = update-storm hash-agg merge (see "
+                        "operators.merge.merge_batch_agg)")
     args = p.parse_args()
 
     spark = build_session(args)
@@ -72,6 +80,9 @@ def main() -> None:
         tailer = BinlogTailer(
             spark, args.binlog, lake, args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            merge_on_read=args.merge_on_read,
+            compact_max_deltas=args.compact_max_deltas,
+            merge_strategy=args.merge_strategy,
         )
         results = tailer.run_available()
     else:
