@@ -70,16 +70,21 @@ def _winners(binlog: DataFrame) -> DataFrame:
     )
 
 
-_LWW_SQL = f"""
+def _lww_state_sql(lsn_pred: str = "TRUE") -> str:
+    """Sequential-replay LWW oracle (tombstones + ts-then-lsn
+    resolution) over the binlog prefix where ``lsn_pred`` holds —
+    ``TRUE`` gives the full-replay converged state; an ``lsn <= cut``
+    predicate gives the state a mid-replay snapshot must expose."""
+    return f"""
 WITH binlog AS ({_BINLOG_SQL}),
 last_d AS (
   SELECT conv_id, turn_idx, max(lsn) AS d_lsn
-  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
+  FROM binlog WHERE op = 'D' AND {lsn_pred} GROUP BY conv_id, turn_idx
 ),
 live AS (
   SELECT b.* FROM binlog b
   LEFT JOIN last_d d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
-  WHERE b.op <> 'D' AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+  WHERE b.op <> 'D' AND {lsn_pred} AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -90,6 +95,14 @@ SELECT conv_id, turn_idx, role, text, tool,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, lsn AS win_lsn
 FROM ranked WHERE rn = 1
 """
+
+
+_LWW_SQL = _lww_state_sql()
+
+# The lsn boundary covered by the first TWO of the four equal-width
+# replay micro-batches (shared arithmetic: _replay_lake_mow computes the
+# identical value with Python ints, the oracles with DuckDB int division).
+_CUT_SQL = "(SELECT min(lsn) + 2 * ((max(lsn) - min(lsn) + 4) // 4) - 1 FROM binlog)"
 
 
 # Queries -------------------------------------------------------------------
@@ -281,6 +294,73 @@ def q_cdc_lww_apply_mor(spark, sf_dir):
     )
 
 
+def _replay_lake_mow(spark, sf_dir, tmp_prefix):
+    """Replay the derived binlog into a fresh LakeTable as 4 ordered
+    equal-width merge-on-write micro-batches. Returns ``(lake, v_mid)``
+    where ``v_mid`` is the committed snapshot version after the 2nd
+    batch — the prefix boundary the SQL oracles reconstruct via
+    ``_CUT_SQL`` (same integer arithmetic on both engines)."""
+    import os
+    import tempfile
+
+    from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
+    from ..tableformat.lake import LakeTable
+
+    b = derived_binlog(spark, sf_dir)
+    lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix=tmp_prefix, dir=base)
+    lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, 8)
+    width = (int(hi) - int(lo) + 4) // 4
+    v_mid = None
+    for i in range(4):
+        s = int(lo) + i * width
+        e = min(s + width - 1, int(hi))
+        if s > int(hi):
+            break
+        apply_batch(
+            lake,
+            b.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
+            f"replay-{i}",
+            lsn_range_hint=(s, e),
+        )
+        if i == 1:
+            v_mid = lake.snapshot()["version"]
+    return lake, v_mid
+
+
+def q_cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel under the oracle gate: replay merge-on-write
+    into a real LakeTable, then read back AT the mid-replay version —
+    ``read(version=v_mid)`` must equal a sequential replay of exactly
+    the lsn prefix that snapshot covers. Proves snapshots are immutable
+    and version-addressable (the manifest chain is a state index over
+    the replay log), not just that the latest state converges. (The
+    gate lake lives in a tmp dir that must outlive this call — the
+    driver collects the returned frame lazily.)"""
+    from ..tableformat.lake import DELETED_COL, LSN_COL
+
+    lake, v_mid = _replay_lake_mow(spark, sf_dir, "gate_tt_")
+    st = lake.read(version=v_mid)
+    return st.filter(~F.col(DELETED_COL)).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col(LSN_COL).alias("win_lsn"),
+    )
+
+
+def q_cdc_change_feed(spark, sf_dir):
+    """The downstream-consumable CDC output (read_changes — Delta's
+    table_changes analog) under the oracle gate: replay merge-on-write,
+    then diff the mid-replay snapshot against the final one. Each key
+    must carry the exact change class {insert, update_postimage,
+    delete} that a sequential replay of the suffix implies. (tmp-dir
+    lifetime note as in q_cdc_time_travel.)"""
+    lake, v_mid = _replay_lake_mow(spark, sf_dir, "gate_cf_")
+    ch = lake.read_changes(from_version=v_mid)
+    return ch.select("conv_id", "turn_idx", "_change_type")
+
+
 def q_cdc_windowed_op_counts(spark, sf_dir):
     """The streaming windowed-agg OPERATOR (streaming/stateful.py:
     windowed_op_counts — tumbling event-time windows + watermark) under
@@ -303,6 +383,8 @@ def q_cdc_windowed_op_counts(spark, sf_dir):
 QUERIES = {
     "cdc_binlog_derive": q_cdc_binlog_derive,
     "cdc_lww_apply_mor": q_cdc_lww_apply_mor,
+    "cdc_time_travel": q_cdc_time_travel,
+    "cdc_change_feed": q_cdc_change_feed,
     "cdc_windowed_op_counts": q_cdc_windowed_op_counts,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
@@ -352,6 +434,55 @@ UNION ALL SELECT * FROM edges UNION ALL SELECT * FROM lin
     # the merge-on-read lake replay must converge to the SAME final
     # state the sequential-replay SQL describes
     "cdc_lww_apply_mor": _LWW_SQL,
+    # a mid-replay snapshot must expose exactly the lsn-prefix state
+    "cdc_time_travel": _lww_state_sql(f"lsn <= {_CUT_SQL}"),
+    "cdc_change_feed": f"""
+WITH binlog AS ({_BINLOG_SQL}),
+old_d AS (
+  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+  FROM binlog WHERE op = 'D' AND lsn <= {_CUT_SQL}
+  GROUP BY conv_id, turn_idx
+),
+old_win AS (
+  SELECT conv_id, turn_idx, lsn AS win_lsn FROM (
+    SELECT b.conv_id, b.turn_idx, b.lsn, row_number() OVER (
+      PARTITION BY b.conv_id, b.turn_idx
+      ORDER BY b.ts DESC, b.lsn DESC) AS rn
+    FROM binlog b
+    LEFT JOIN old_d d
+      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+    WHERE b.op <> 'D' AND b.lsn <= {_CUT_SQL}
+      AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+  ) WHERE rn = 1
+),
+new_d AS (
+  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
+),
+new_win AS (
+  SELECT conv_id, turn_idx, lsn AS win_lsn FROM (
+    SELECT b.conv_id, b.turn_idx, b.lsn, row_number() OVER (
+      PARTITION BY b.conv_id, b.turn_idx
+      ORDER BY b.ts DESC, b.lsn DESC) AS rn
+    FROM binlog b
+    LEFT JOIN new_d d
+      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+    WHERE b.op <> 'D' AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+  ) WHERE rn = 1
+),
+diff AS (
+  SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
+         coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
+         CASE WHEN o.win_lsn IS NULL THEN 'insert'
+              WHEN n.win_lsn IS NULL THEN 'delete'
+              WHEN n.win_lsn <> o.win_lsn THEN 'update_postimage'
+         END AS _change_type
+  FROM new_win n FULL OUTER JOIN old_win o
+    ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+)
+SELECT conv_id, turn_idx, _change_type
+FROM diff WHERE _change_type IS NOT NULL
+""",
     "cdc_windowed_op_counts": f"""
 WITH binlog AS ({_BINLOG_SQL})
 SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
