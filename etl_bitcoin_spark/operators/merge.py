@@ -53,6 +53,14 @@ BINLOG_DDL = (
 )
 VALUE_COLS = ["role", "text", "tool", "ts"]
 
+# merge_strategy="auto" crossover: batches averaging at least this many
+# events per touched key resolve with the hash-agg (update-storm)
+# formulation, below it with the single-sort window. The measured
+# crossover sits between ~1 event/key (window wins 1.4x, round-1 spike)
+# and ~1000 events/key (agg wins 1.9x, scripts/spike_hotkey.py); 4 is
+# safely past the window regime's flat zone on both spikes.
+AUTO_AGG_MULTIPLICITY = 4.0
+
 
 def reconcile_schema(df: DataFrame, ddl: str) -> DataFrame:
     """Additive schema reconciliation: project ``df`` onto the columns of
@@ -392,6 +400,13 @@ def apply_batch(
     over base ∪ delta summaries equals sequential replay); pair with
     ``lake.compact_deltas`` to bound read amplification.
 
+    ``merge_strategy``: "window" (single-sort resolution, the ~1
+    event/key CDC norm), "agg" (hash-agg with map-side combine, 1.9x on
+    hot-key update storms), or "auto" — per-batch choice from the
+    events-per-touched-key multiplicity, measured by an HLL sketch that
+    rides whichever pre-job the path already runs (the stats agg, or
+    the bucket-discovery job); paths with no pre-job resolve to window.
+
     Multi-writer note: concurrent writers with interleaved lsn ranges
     MUST pass an ``already_applied_filter`` (state.ExactlyOnceFilter) —
     the default ordered-replay fast path (``lsn > hwm``) assumes batches
@@ -457,7 +472,13 @@ def apply_batch(
         )
         return {"applied": ok, **out}
 
-    if assume_all_buckets and lsn_range_hint is None and merge_strategy == "window":
+    if assume_all_buckets and lsn_range_hint is None and merge_strategy in (
+        "window", "auto",
+    ):
+        # ("auto" resolves to window here: this fused path runs no
+        # pre-job that a multiplicity signal could ride, and bulk drains
+        # are the ~1 event/key shape the window strategy wins anyway.
+        # Callers replaying a known update storm pass "agg" explicitly.)
         # Single-job bulk-stream path (merge-on-write): every bucket is
         # touched, so there is no discovery to do — and the batch's lsn
         # stats ride the MERGE job itself (events tagged __evt inside
@@ -528,8 +549,24 @@ def apply_batch(
                         lake.bucket_expr(n_buckets, KEY_COLS)
                     ).alias("bks")
                 )
+            if merge_strategy == "auto":
+                # The multiplicity signal (events per touched key) RIDES
+                # the stats job already running on the cached batch —
+                # approx_count_distinct costs one HLL sketch, no extra
+                # job, no extra shuffle.
+                aggs.append(
+                    F.approx_count_distinct(
+                        F.concat_ws("\x1f", *KEY_COLS)
+                    ).alias("nk")
+                )
             rng = ev.agg(*aggs).collect()[0]
             lo, hi, n = rng["lo"], rng["hi"], rng["n"]
+            if merge_strategy == "auto":
+                merge_strategy = (
+                    "agg"
+                    if n >= AUTO_AGG_MULTIPLICITY * max(1, rng["nk"])
+                    else "window"
+                )
             if n == 0:
                 lake.commit(
                     lake.read(buckets=[]).limit(0).withColumn(
@@ -555,12 +592,27 @@ def apply_batch(
             # correctness.
             affected = list(range(n_buckets))
         elif lsn_range_hint is not None:
-            affected = [
-                r["b"]
-                for r in ev.select(
-                    lake.bucket_expr(n_buckets, KEY_COLS).alias("b")
-                ).distinct().collect()
-            ]
+            b = lake.bucket_expr(n_buckets, KEY_COLS).alias("b")
+            if merge_strategy == "auto":
+                # Same trick on the hint path: the multiplicity signal
+                # rides the bucket-discovery job (per-bucket counts +
+                # HLL key sketches — keys never span buckets, so the
+                # sums are the batch totals).
+                rows = ev.groupBy(b).agg(
+                    F.count("*").alias("c"),
+                    F.approx_count_distinct(
+                        F.concat_ws("\x1f", *KEY_COLS)
+                    ).alias("nk"),
+                ).collect()
+                affected = sorted(int(r["b"]) for r in rows)
+                tot = sum(r["c"] for r in rows)
+                nk = max(1, sum(r["nk"] for r in rows))
+                merge_strategy = (
+                    "agg" if tot >= AUTO_AGG_MULTIPLICITY * nk
+                    else "window"
+                )
+            else:
+                affected = [r["b"] for r in ev.select(b).distinct().collect()]
         else:
             affected = sorted(rng["bks"])
         # Pin the stored read to the snapshot version the guard saw, so
@@ -570,6 +622,10 @@ def apply_batch(
         # event/key) vs "agg" (two-phase hash aggregate with map-side
         # combine, 1.9x faster under hot-key update storms — see
         # merge_batch_agg docstring for the measured crossover).
+        if merge_strategy == "auto":
+            # no pre-job ran on this path (assume_all_buckets + hint):
+            # no free signal, default to the window formulation
+            merge_strategy = "window"
         merge_fn = (
             merge_batch_direct if merge_strategy == "window"
             else merge_batch_agg
@@ -583,7 +639,8 @@ def apply_batch(
             batch_id,
             lsn_range=None if sub_ranges is not None else (lo, hi),
             lsn_ranges=sub_ranges,
-            metrics={"events": n, "buckets_touched": len(affected)},
+            metrics={"events": n, "buckets_touched": len(affected),
+                     "merge_strategy": merge_strategy},
             # content was computed against the snapshot read above —
             # a concurrent commit to any affected bucket must conflict,
             # disjoint-bucket writers rebase cleanly
@@ -594,6 +651,7 @@ def apply_batch(
             "events": n,
             "lsn_range": [lo, hi],
             "buckets": affected,
+            "merge_strategy": merge_strategy,
         }
     finally:
         if cached:

@@ -67,8 +67,9 @@ class BinlogTailer:
         # tax over compact_max_deltas micro-batches.
         self.merge_on_read = merge_on_read
         self.compact_max_deltas = compact_max_deltas
-        # "window" (default) or "agg" — the update-storm strategy; see
-        # operators.merge.merge_batch_agg for the measured crossover.
+        # "window" (default), "agg" (the update-storm strategy), or
+        # "auto" (per-batch multiplicity signal riding the stats job);
+        # see operators.merge.merge_batch_agg for the crossover.
         self.merge_strategy = merge_strategy
         self.bloom_path = os.path.join(checkpoint_dir, "lsn_bloom.state")
         self._bloom: LsnBloom | None = None

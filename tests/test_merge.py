@@ -357,3 +357,67 @@ def test_agg_strategy_equals_window_and_oracle(spark, tmp_lake_dir, tmp_path):
     sw = sorted(tuple(r) for r in lw.read().select(*cols).collect())
     sa = sorted(tuple(r) for r in la.read().select(*cols).collect())
     assert sw == sa
+
+
+def test_auto_strategy_picks_by_multiplicity(spark, tmp_lake_dir, tmp_path):
+    """merge_strategy="auto": a ~1-event/key batch resolves to the
+    window formulation, a hot-key update storm to the hash-agg one —
+    decided per batch by the HLL multiplicity signal riding the
+    pre-job — and the converged state still equals the oracle."""
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.tableformat.lake import LakeTable
+
+    # storm: 2000 events hammering <=10 keys (multiplicity ~200);
+    # normal: 500 events over ~96 keys (multiplicity ~1)
+    spec = BinlogSpec(
+        seed=77, n_convs=12, max_turns=8, n_events=2500,
+        delete_rate=0.1, hot_share=0.95, n_hot=2, ts_collision_rate=0.2,
+    )
+    pdf = generate_binlog(spec)
+    ev_all = spark.createDataFrame(
+        pdf.drop(columns=["seg", "evolved"]), BINLOG_DDL
+    )
+
+    for hinted in (True, False):
+        lake = LakeTable.create(
+            spark, str(tmp_path / f"auto_{hinted}"), TRANSCRIPTS_DDL,
+            KEY_COLS, 4,
+        )
+        picked = []
+        for i in range(4):
+            lo, hi = i * 625, i * 625 + 624
+            chunk = ev_all.filter(
+                (F.col("lsn") >= lo) & (F.col("lsn") <= hi)
+            )
+            res = apply_batch(
+                lake, chunk, f"auto-{i}",
+                lsn_range_hint=(lo, hi) if hinted else None,
+                merge_strategy="auto",
+            )
+            picked.append(res["merge_strategy"])
+        # hot_share=0.95 over 2 keys makes every 625-event batch a storm
+        assert picked == ["agg"] * 4, (hinted, picked)
+        _assert_matches_oracle(lake, pdf)
+
+    # the ~1 event/key shape resolves to window on both signal paths
+    calm = BinlogSpec(
+        seed=78, n_convs=200, max_turns=25, n_events=2000,
+        delete_rate=0.1, hot_share=0.0, n_hot=1,
+    )
+    pdf_c = generate_binlog(calm)
+    ev_c = spark.createDataFrame(
+        pdf_c.drop(columns=["seg", "evolved"]), BINLOG_DDL
+    )
+    for hinted in (True, False):
+        lake = LakeTable.create(
+            spark, str(tmp_path / f"calm_{hinted}"), TRANSCRIPTS_DDL,
+            KEY_COLS, 4,
+        )
+        res = apply_batch(
+            lake, ev_c, "calm-0",
+            lsn_range_hint=(0, 1999) if hinted else None,
+            merge_strategy="auto",
+        )
+        assert res["merge_strategy"] == "window", (hinted, res)
+        _assert_matches_oracle(lake, pdf_c)
