@@ -468,6 +468,7 @@ class LakeTable:
         base_version: int | None = None,
         max_retries: int = 5,
         lineage_fn=None,
+        new_n_buckets: int | None = None,
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -499,6 +500,8 @@ class LakeTable:
             raise ValueError(f"unknown commit mode {mode!r}")
         if mode != "replace" and replaced_buckets:
             raise ValueError(f"{mode} mode cannot replace buckets")
+        if new_n_buckets is not None and mode != "replace":
+            raise ValueError("bucket rescale requires a replace commit")
         prev = self.snapshot()
         if self._batch_applied(prev, batch_id):
             return False
@@ -517,7 +520,6 @@ class LakeTable:
         # footer reads cost ~0.5 ms/file; above the threshold a
         # DISTRIBUTED footer job keeps wall time flat in bucket count —
         # never a serial driver crawl.
-        n_buckets = prev["n_buckets"]
         (
             new_content.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -637,11 +639,24 @@ class LakeTable:
             if mode == "replace"
             else set()
         )
-        group_size = prev["group_size"]
+        group_size = (
+            prev["group_size"] if new_n_buckets is None
+            else min(GROUP_SIZE, new_n_buckets)
+        )
         for _attempt in range(max_retries):
             cur = self.snapshot()
             if self._batch_applied(cur, batch_id):
                 return False
+            if cur["n_buckets"] != base["n_buckets"]:
+                # A concurrent RESCALE republished every bucket under a
+                # new hash layout: this commit's bucket assignment (and
+                # any appended/delta file's placement) is meaningless
+                # against it — even commutative appends must recompute.
+                raise CommitConflict(
+                    f"bucket layout rescaled concurrently "
+                    f"({base['n_buckets']} -> {cur['n_buckets']}); "
+                    "recompute against the new snapshot"
+                )
             if cur["version"] != base["version"]:
                 for b in conflict_buckets:
                     if self._bucket_pointer(cur, b) != self._bucket_pointer(
@@ -703,12 +718,18 @@ class LakeTable:
                     "n_deltas": len(bm["deltas"]),
                 }
             # --- rewrite only the group manifests whose buckets changed
-            groups = dict(cur["groups"])
+            # (a rescale rebuilds the whole tree: every bucket is being
+            # replaced and group ids re-derive under the new layout, so
+            # nothing from the old tree may carry forward)
+            groups = {} if new_n_buckets is not None else dict(cur["groups"])
             by_gid: dict[str, dict[str, dict | None]] = {}
             for b, ptr in new_ptrs.items():
                 by_gid.setdefault(str(int(b) // group_size), {})[b] = ptr
             for gid, changes in by_gid.items():
-                gm = dict(self._load_gm(cur, gid))
+                gm = (
+                    {} if new_n_buckets is not None
+                    else dict(self._load_gm(cur, gid))
+                )
                 for b, ptr in changes.items():
                     if ptr is None:
                         gm.pop(b, None)
@@ -753,7 +774,10 @@ class LakeTable:
                 "parent": cur["version"],
                 "schema_ddl": cur["schema_ddl"],
                 "key_cols": cur["key_cols"],
-                "n_buckets": cur["n_buckets"],
+                "n_buckets": (
+                    cur["n_buckets"] if new_n_buckets is None
+                    else new_n_buckets
+                ),
                 "group_size": group_size,
                 "batch_id": batch_id,
                 "applied_batch_ids": (cur["applied_batch_ids"] + [batch_id])[
@@ -794,6 +818,50 @@ class LakeTable:
                 self._mark_batch_applied(batch_id)
                 return True
         raise CommitConflict(f"lost 8 CAS races evolving schema ({batch_id})")
+
+    def rescale_buckets(
+        self, new_n_buckets: int, batch_id: str
+    ) -> dict[str, Any]:
+        """Bucket-count evolution — the operation a growing table needs
+        when it outruns its layout (bucket count fixes merge parallelism
+        and rewrite granularity; a table created at 64 buckets that grew
+        100x wants 4096). One distributed job: the fully-resolved state
+        (winners AND retained tombstones — tombstones must survive, they
+        guard against late low-lsn resurrection; pending deltas fold in
+        via the read-time resolution) rewrites under the new hash
+        layout, and the commit atomically republishes the WHOLE manifest
+        tree with the new ``n_buckets``/``group_size``.
+
+        Concurrency: the rescale commit conflicts with ANY concurrent
+        data commit (every bucket is replaced), and every commit
+        computed against the old layout — including otherwise-
+        commutative appends/deltas, whose file placement is meaningless
+        under the new hash — fails with CommitConflict via the
+        n_buckets guard and must recompute. Time travel across the
+        boundary works: old snapshots keep their own layout. Idempotent
+        on ``batch_id``."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        snap = self.snapshot()
+        if self._batch_applied(snap, batch_id):
+            return {"applied": False, "reason": "duplicate batch_id"}
+        old_n = snap["n_buckets"]
+        st = self.read(version=snap["version"])
+        content = st.withColumn(
+            BUCKET_COL, self.bucket_expr(new_n_buckets, snap["key_cols"])
+        ).repartition(new_n_buckets, *snap["key_cols"])
+        ok = self.commit(
+            content,
+            list(range(old_n)),
+            batch_id,
+            metrics={"rescale": [old_n, new_n_buckets]},
+            base_version=snap["version"],
+            new_n_buckets=new_n_buckets,
+        )
+        return {
+            "applied": ok,
+            "n_buckets": [old_n, new_n_buckets],
+        }
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change feed between two snapshots (a downstream-consumable CDC
