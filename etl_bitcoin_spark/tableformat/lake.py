@@ -1102,6 +1102,66 @@ class LakeTable:
         )
         return {"buckets_compacted": len(victims) if ok else 0, "applied": ok}
 
+    def compact_files(
+        self,
+        max_files_per_bucket: int = 8,
+        batch_id: str | None = None,
+    ) -> dict[str, Any]:
+        """Small-file bin-packing (the OPTIMIZE analog) for APPEND-mode
+        tables: every append commit adds a file per touched bucket, so a
+        fan-out table tailed for a day carries thousands of tiny files
+        per bucket — scan task count and footer IO grow without bound.
+        Rewrites every bucket whose BASE file count exceeds the policy
+        into one file, preserving rows exactly (no resolution — append
+        tables have no LWW semantics; a raw union is the correct
+        content).
+
+        Victim discovery is METADATA-ONLY (group pointers carry
+        n_files). Buckets holding merge-on-read deltas are skipped —
+        ``compact_deltas`` owns those (its full resolved rewrite
+        collapses base files too). Idempotent on batch_id; a concurrent
+        append to a victim bucket wins the CAS race and this replace
+        conflicts (retry on the next policy tick) — appends landing
+        AFTER the compaction commit rebase onto the packed file list."""
+        m = self.snapshot()
+        victims: list[int] = []
+        for gid in m["groups"]:
+            for b, ptr in self._load_gm(m, gid).items():
+                if ptr["n_files"] > max_files_per_bucket and (
+                    ptr["n_deltas"] == 0
+                ):
+                    victims.append(int(b))
+        if not victims:
+            return {"buckets_compacted": 0, "applied": False}
+        entries = self.bucket_entries(version=m["version"], buckets=victims)
+        files = [
+            os.path.join(self.root, f)
+            for e in entries.values()
+            for f in e["files"]
+        ]
+        schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
+        content = (
+            self.spark.read.schema(schema).parquet(*files)
+            .withColumn(
+                DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            .withColumn(
+                BUCKET_COL, self.bucket_expr(m["n_buckets"], m["key_cols"])
+            )
+            # partition on the BUCKET VALUE (not the key hash): all of a
+            # bucket's rows land in one task, so the partitionBy write
+            # emits exactly ONE packed file per victim bucket
+            .repartition(len(victims), F.col(BUCKET_COL))
+        )
+        ok = self.commit(
+            content,
+            victims,
+            batch_id or f"compact-files-v{m['version']}",
+            metrics={"compaction": "files", "buckets": len(victims)},
+            base_version=m["version"],
+        )
+        return {"buckets_compacted": len(victims) if ok else 0, "applied": ok}
+
     def compact_bucket_tombstones(
         self, horizon_lsn: int, batch_id: str | None = None
     ) -> dict[str, int]:

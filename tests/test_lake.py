@@ -488,3 +488,76 @@ def test_multiwriter_threaded_disjoint_apply(spark, tmp_path):
     got = {r.conv_id for r in lake.read(user_cols=True).collect()}
     assert got == {f"a{i}" for i in range(20)} | {f"b{i}" for i in range(100, 120)}
     assert lake.lineage()["rows_total"] == 40
+
+
+def test_compact_files_bin_packs_append_buckets(spark, tmp_lake_dir):
+    """compact_files (the OPTIMIZE analog for append tables): buckets
+    past the file-count policy pack to ONE file each, rows preserved
+    exactly, buckets under the policy untouched, idempotent replay a
+    no-op, delta-carrying buckets left to compact_deltas."""
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    # 6 append commits, one row per bucket each -> 6 files per bucket
+    for i in range(6):
+        rows = [
+            (f"c{b}", b, "user", f"t{i}-{b}", None,
+             "2024-01-01 00:00:00", i * 10 + b)
+            for b in range(8)
+        ]
+        df = _with_bucket(lake, _mk(spark, rows))
+        assert lake.commit(df, [], f"app-{i}", None, mode="append")
+    before = sorted(
+        tuple(r) for r in lake.read(user_cols=True).collect()
+    )
+    ent = lake.bucket_entries()
+    grown = [b for b, e in ent.items() if len(e["files"]) > 4]
+    assert grown, "append commits should have grown file counts"
+
+    res = lake.compact_files(max_files_per_bucket=4)
+    assert res["applied"] and res["buckets_compacted"] == len(grown)
+    ent2 = lake.bucket_entries()
+    for b in grown:
+        assert len(ent2[b]["files"]) == 1, (b, ent2[b]["files"])
+        assert ent2[b]["rows"] == ent[b]["rows"]
+    after = sorted(
+        tuple(r) for r in lake.read(user_cols=True).collect()
+    )
+    assert after == before
+    assert lake.lineage()["rows_total"] == len(before)
+
+    # under-policy buckets: nothing to do
+    res2 = lake.compact_files(max_files_per_bucket=4)
+    assert res2 == {"buckets_compacted": 0, "applied": False}
+
+    # idempotent replay of the same compaction batch id is a no-op
+    for i in range(6, 12):
+        rows = [
+            (f"c{b}", b, "user", f"t{i}-{b}", None,
+             "2024-01-01 00:00:00", i * 10 + b)
+            for b in range(8)
+        ]
+        df = _with_bucket(lake, _mk(spark, rows))
+        assert lake.commit(df, [], f"app-{i}", None, mode="append")
+    v = lake.snapshot()["version"]
+    assert lake.compact_files(4, batch_id="cf-x")["applied"]
+    again = lake.compact_files(4, batch_id="cf-x")
+    assert not again["applied"]
+
+    # delta-carrying buckets are skipped (compact_deltas owns them)
+    from etl_bitcoin_spark.tableformat.lake import DELETED_COL
+
+    d = _with_bucket(
+        lake,
+        _mk(spark, [(f"c{b}", b, "user", f"d-{b}", None,
+                     "2024-01-02 00:00:00", 500 + b) for b in range(8)]),
+    ).withColumn(DELETED_COL, F.lit(False))
+    assert lake.commit(d, [], "delta-1", None, mode="delta")
+    for i in range(12, 18):
+        rows = [
+            (f"c{b}", b, "user", f"t{i}-{b}", None,
+             "2024-01-01 00:00:00", i * 10 + b)
+            for b in range(8)
+        ]
+        df = _with_bucket(lake, _mk(spark, rows))
+        assert lake.commit(df, [], f"app-{i}", None, mode="append")
+    res3 = lake.compact_files(max_files_per_bucket=4)
+    assert not res3["applied"], res3
