@@ -171,7 +171,8 @@ class FanoutTailer:
     crash-replayed foreachBatch calls)."""
 
     def __init__(self, spark, binlog_dir: str, catalog: LakeCatalog,
-                 checkpoint_dir: str, max_files_per_trigger: int = 1):
+                 checkpoint_dir: str, max_files_per_trigger: int = 1,
+                 compact_max_files: int | None = None):
         import hashlib
 
         self.spark = spark
@@ -179,6 +180,11 @@ class FanoutTailer:
         self.catalog = catalog
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        # Small-file policy: append tables gain a file per bucket per
+        # micro-batch; past this per-bucket count, the catalog packs
+        # them (metadata-only victim check each batch, rewrite only
+        # when victims exist — the OPTIMIZE-as-you-go loop).
+        self.compact_max_files = compact_max_files
         self.ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
         self.batch_results: list[dict[str, Any]] = []
 
@@ -186,6 +192,16 @@ class FanoutTailer:
         res = fanout_batch(
             self.catalog, batch_df, f"fanout-{self.ns}-{batch_id}"
         )
+        if self.compact_max_files is not None and res.get("applied"):
+            c = self.catalog.compact_files(
+                self.compact_max_files,
+                batch_id=f"cf-{self.ns}-{batch_id}",
+            )
+            packed = {
+                n: r for n, r in c.items() if r.get("applied")
+            }
+            if packed:
+                res = dict(res, compacted=sorted(packed))
         self.batch_results.append(res)
 
     def run_available(self) -> list[dict[str, Any]]:

@@ -267,6 +267,76 @@ class LakeCatalog:
         return None
 
     # ----------------------------------------------------------- maintenance
+    def compact_files(
+        self,
+        max_files_per_bucket: int = 8,
+        batch_id: str | None = None,
+    ) -> dict[str, Any]:
+        """Catalog-coordinated small-file bin-packing: run
+        ``LakeTable.compact_files`` on every member table, then advance
+        the catalog pins so catalog readers see the packed layout.
+
+        Pin-advance safety: a pin only moves to a compaction version
+        whose PARENT is exactly the currently pinned version. If any
+        other commit slipped between the pin and the compaction (e.g. a
+        concurrent ``commit_multi`` that staged its table commit but has
+        not published yet), advancing the pin would expose that
+        half-landed transaction — so the pin stays and the next
+        ``commit_multi`` publish advances past both. The compacted
+        files are durable either way; only their catalog visibility
+        waits."""
+        cat = self.snapshot()
+        results: dict[str, Any] = {}
+        ours: dict[str, int] = {}
+        for name, pinned_v in cat["tables"].items():
+            t = self.table(name)
+            if t.snapshot()["version"] != pinned_v:
+                # unpublished commits are in flight on this table —
+                # compacting on top of them is legal but the pin could
+                # not advance; skip until the catalog catches up
+                results[name] = {"applied": False, "reason": "pin lag"}
+                continue
+            cid = (
+                f"{batch_id}/{name}" if batch_id
+                else f"compact-files-{name}-v{pinned_v}"
+            )
+            try:
+                r = t.compact_files(max_files_per_bucket, batch_id=cid)
+            except CommitConflict:
+                results[name] = {"applied": False, "reason": "conflict"}
+                continue
+            results[name] = r
+            if not r["applied"]:
+                continue
+            v = self._version_for_batch(t, cid)
+            if v is not None and t.snapshot(v).get("parent") == pinned_v:
+                ours[name] = v
+        if ours:
+            for _attempt in range(8):
+                cur = self.snapshot()
+                pinned = dict(cur["tables"])
+                moved = False
+                for name, v in ours.items():
+                    # only advance still-current pins (a concurrent
+                    # publish superseding us already contains the
+                    # compaction in its table's linear history)
+                    if pinned.get(name) == cat["tables"][name]:
+                        pinned[name] = v
+                        moved = True
+                if not moved:
+                    break
+                manifest = {
+                    "version": cur["version"] + 1,
+                    "parent": cur["version"],
+                    "batch_id": None,
+                    "applied_batch_ids": cur["applied_batch_ids"],
+                    "committed_at": time.time(),
+                    "tables": pinned,
+                }
+                if self._claim(manifest):
+                    break
+        return results
+
     def versions(self) -> list[int]:
         out = []
         for n in os.listdir(self.catalog_dir):

@@ -252,3 +252,99 @@ def test_fanout_single_scan_via_cached_batch(spark):
             assert "InMemoryRelation" in plan, (name, plan)
     finally:
         cached.unpersist()
+
+
+def test_catalog_compact_files_advances_pins_safely(spark, cat):
+    """Catalog-coordinated bin-packing: after many fan-out batches the
+    append tables' buckets pack to one file each and catalog readers
+    see the compacted layout (pins advanced); with a half-landed
+    commit_multi in flight on a table, its pin must NOT advance past
+    the unpublished commit."""
+    for i in range(6):
+        ev = _events(spark, [
+            (10 * i + k, "I", f"c{k % 3}", k, f"x{i}-{k}", k)
+            for k in range(6)
+        ])
+        assert fanout_batch(cat, ev, f"b-{i}")["applied"]
+    before = sorted(
+        (r.lsn, r.conv_id, r.turn_idx)
+        for r in cat.read("turns", user_cols=True).collect()
+    )
+    t = cat.table("turns")
+    grown = [
+        b for b, e in t.bucket_entries().items() if len(e["files"]) > 2
+    ]
+    assert grown
+
+    res = cat.compact_files(max_files_per_bucket=2, batch_id="cf-1")
+    assert res["turns"]["applied"]
+    # catalog READ sees the packed layout: pinned version advanced
+    pin = cat.snapshot()["tables"]["turns"]
+    assert pin == t.snapshot()["version"]
+    ent = t.bucket_entries(version=pin)
+    for b in grown:
+        assert len(ent[b]["files"]) == 1
+    after = sorted(
+        (r.lsn, r.conv_id, r.turn_idx)
+        for r in cat.read("turns", user_cols=True).collect()
+    )
+    assert after == before
+
+    # --- half-landed txn: stage a table commit WITHOUT catalog publish
+    for i in range(6, 12):
+        ev = _events(spark, [
+            (10 * i + k, "I", f"c{k % 3}", k, f"x{i}-{k}", k)
+            for k in range(6)
+        ])
+        assert fanout_batch(cat, ev, f"b-{i}")["applied"]
+    from etl_bitcoin_spark.operators.fanout import fanout_frames
+
+    ev = _events(spark, [(500 + k, "I", f"c{k % 3}", k, "z", k)
+                         for k in range(6)])
+    fr = fanout_frames(ev, "staged")
+    staged = fr["turns"].withColumn(
+        BUCKET_COL, t.bucket_expr(4, ["conv_id", "turn_idx"])
+    )
+    assert t.commit(staged, [], "staged-tx/turns", mode="append")
+    pin_before = cat.snapshot()["tables"]["turns"]
+    assert t.snapshot()["version"] > pin_before  # pin lag
+
+    res2 = cat.compact_files(max_files_per_bucket=2, batch_id="cf-2")
+    assert res2["turns"] == {"applied": False, "reason": "pin lag"}
+    # the pin did NOT move: the staged commit stays invisible
+    assert cat.snapshot()["tables"]["turns"] == pin_before
+    vis = cat.read("turns", user_cols=True).filter(
+        F.col("lsn") >= 500
+    ).count()
+    assert vis == 0
+
+
+def test_streaming_fanout_with_compaction_policy(spark, tmp_path):
+    """FanoutTailer(compact_max_files=K): the live fan-out keeps every
+    append bucket's file count bounded as batches stream in, with no
+    row lost or duplicated."""
+    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, write_segments
+    from etl_bitcoin_spark.operators.fanout import FanoutTailer
+
+    pdf = generate_binlog(
+        BinlogSpec(seed=6, n_convs=20, n_events=600, n_segments=12,
+                   dup_rate=0.0)
+    )
+    wal = str(tmp_path / "wal")
+    write_segments(pdf, wal)
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    create_fanout_tables(cat, n_buckets=4)
+    tailer = FanoutTailer(spark, wal, cat, str(tmp_path / "ckpt"),
+                          max_files_per_trigger=1, compact_max_files=3)
+    results = tailer.run_available()
+    assert all(r["applied"] for r in results)
+    assert any("compacted" in r for r in results), results
+
+    turns = cat.read("turns", user_cols=True)
+    assert turns.count() == 600
+    assert turns.select("lsn").distinct().count() == 600
+    # the policy held: every bucket within (policy + 1 batch slack)
+    t = cat.table("turns")
+    pin = cat.snapshot()["tables"]["turns"]
+    for b, e in t.bucket_entries(version=pin).items():
+        assert len(e["files"]) <= 4, (b, e["files"])
