@@ -299,3 +299,44 @@ def test_stream_merge_on_read_converges_and_bounds_deltas(
     ).run_available()
     assert sum(r.get("events", 0) for r in r2) == 0
     _check(lake, binlog_pdf)
+
+
+def test_rescale_mid_stream_reconverges(spark, tmp_path, binlog_pdf):
+    """A bucket rescale landing BETWEEN micro-batches (the online
+    layout-evolution story): the tailer picks up the new layout on its
+    next snapshot read and the stream converges to the oracle on the
+    rescaled table."""
+    wal = str(tmp_path / "wal")
+    segs = write_segments(binlog_pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    ckpt = str(tmp_path / "ckpt")
+    # drain the first half, rescale, then drain the rest over the SAME
+    # checkpoint — exactly a live tailer interrupted by maintenance
+    half = str(tmp_path / "wal_half")
+    import os
+    import shutil as _sh
+
+    os.makedirs(half)
+    names = sorted(os.listdir(wal))
+    for n in names[: len(names) // 2]:
+        _sh.copy(os.path.join(wal, n), os.path.join(half, n))
+    BinlogTailer(spark, half, lake, ckpt).run_available()
+
+    assert lake.rescale_buckets(16, "mid-stream-rescale")["applied"]
+    assert lake.snapshot()["n_buckets"] == 16
+
+    for n in names[len(names) // 2:]:
+        _sh.copy(os.path.join(wal, n), os.path.join(half, n))
+    results = BinlogTailer(spark, half, lake, ckpt).run_available()
+    assert all(r["applied"] for r in results)
+    _check(lake, binlog_pdf)
+    # merges landed on the NEW layout
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.tableformat.lake import BUCKET_COL
+
+    assert lake.read().filter(
+        F.col(BUCKET_COL) != lake.bucket_expr(16, KEY_COLS)
+    ).count() == 0
