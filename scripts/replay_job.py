@@ -54,10 +54,11 @@ def main() -> None:
                    help="streaming latency mode: delta appends + policy "
                         "compaction instead of per-batch bucket rewrites")
     p.add_argument("--compact-max-deltas", type=int, default=8)
-    p.add_argument("--merge-strategy", choices=("window", "agg"),
+    p.add_argument("--merge-strategy", choices=("window", "agg", "auto"),
                    default="window",
-                   help="agg = update-storm hash-agg merge (see "
-                        "operators.merge.merge_batch_agg)")
+                   help="agg = update-storm hash-agg merge; auto = "
+                        "per-batch choice from the multiplicity signal "
+                        "(see operators.merge.merge_batch_agg)")
     args = p.parse_args()
 
     spark = build_session(args)
