@@ -361,6 +361,16 @@ def q_cdc_change_feed(spark, sf_dir):
     return ch.select("conv_id", "turn_idx", "_change_type")
 
 
+def q_cdc_change_feed_pre(spark, sf_dir):
+    """Change feed in PREIMAGE mode (the full Delta-CDF consumer
+    shape): updates emit pre+post rows, deletes carry the vanished
+    row's values — each arm's payload checked against the prefix/full
+    LWW oracles (text column stands in for the payload)."""
+    lake, v_mid = _replay_lake_mow(spark, sf_dir, "gate_cfp_")
+    ch = lake.read_changes(from_version=v_mid, include_preimages=True)
+    return ch.select("conv_id", "turn_idx", "_change_type", "text")
+
+
 def q_cdc_windowed_op_counts(spark, sf_dir):
     """The streaming windowed-agg OPERATOR (streaming/stateful.py:
     windowed_op_counts — tumbling event-time windows + watermark) under
@@ -385,6 +395,7 @@ QUERIES = {
     "cdc_lww_apply_mor": q_cdc_lww_apply_mor,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
+    "cdc_change_feed_pre": q_cdc_change_feed_pre,
     "cdc_windowed_op_counts": q_cdc_windowed_op_counts,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
@@ -482,6 +493,60 @@ diff AS (
 )
 SELECT conv_id, turn_idx, _change_type
 FROM diff WHERE _change_type IS NOT NULL
+""",
+    "cdc_change_feed_pre": f"""
+WITH binlog AS ({_BINLOG_SQL}),
+old_d AS (
+  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+  FROM binlog WHERE op = 'D' AND lsn <= {_CUT_SQL}
+  GROUP BY conv_id, turn_idx
+),
+old_win AS (
+  SELECT conv_id, turn_idx, lsn AS win_lsn, text FROM (
+    SELECT b.conv_id, b.turn_idx, b.lsn, b.text, row_number() OVER (
+      PARTITION BY b.conv_id, b.turn_idx
+      ORDER BY b.ts DESC, b.lsn DESC) AS rn
+    FROM binlog b
+    LEFT JOIN old_d d
+      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+    WHERE b.op <> 'D' AND b.lsn <= {_CUT_SQL}
+      AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+  ) WHERE rn = 1
+),
+new_d AS (
+  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
+),
+new_win AS (
+  SELECT conv_id, turn_idx, lsn AS win_lsn, text FROM (
+    SELECT b.conv_id, b.turn_idx, b.lsn, b.text, row_number() OVER (
+      PARTITION BY b.conv_id, b.turn_idx
+      ORDER BY b.ts DESC, b.lsn DESC) AS rn
+    FROM binlog b
+    LEFT JOIN new_d d
+      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+    WHERE b.op <> 'D' AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
+         coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
+         n.win_lsn AS n_l, n.text AS n_x,
+         o.win_lsn AS o_l, o.text AS o_x
+  FROM new_win n FULL OUTER JOIN old_win o
+    ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+)
+SELECT conv_id, turn_idx, 'insert' AS _change_type, n_x AS text
+FROM pairs WHERE o_l IS NULL AND n_l IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'update_preimage', o_x
+FROM pairs WHERE o_l IS NOT NULL AND n_l IS NOT NULL AND n_l <> o_l
+UNION ALL
+SELECT conv_id, turn_idx, 'update_postimage', n_x
+FROM pairs WHERE o_l IS NOT NULL AND n_l IS NOT NULL AND n_l <> o_l
+UNION ALL
+SELECT conv_id, turn_idx, 'delete', o_x
+FROM pairs WHERE n_l IS NULL AND o_l IS NOT NULL
 """,
     "cdc_windowed_op_counts": f"""
 WITH binlog AS ({_BINLOG_SQL})

@@ -863,11 +863,19 @@ class LakeTable:
             "n_buckets": [old_n, new_n_buckets],
         }
 
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
         """Change feed between two snapshots (a downstream-consumable CDC
         output, the analog of Delta's table_changes): one row per key
         whose state differs, with ``_change_type`` in
-        {insert, update_postimage, delete}.
+        {insert, update_postimage, delete}. With ``include_preimages``
+        updates ALSO emit an ``update_preimage`` row carrying the old
+        values, and delete rows carry the vanished row's values instead
+        of the tombstone's nulls (the full Delta-CDF consumer shape).
 
         Cost model: only buckets whose manifest POINTERS changed between
         the two snapshots are read (group pointers prune whole untouched
@@ -903,11 +911,16 @@ class LakeTable:
                 .drop("__rn")
             )
 
+        user_cols = [f.split(" ")[0] for f in m_new["schema_ddl"].split(", ")]
         old = _one_per_key(
             self.read(version=m_old["version"], buckets=changed)
         ).select(
             *key, F.col(LSN_COL).alias("__old_lsn"),
             F.col(DELETED_COL).alias("__old_del"),
+            *[
+                F.col(c).alias(f"__old_{c}")
+                for c in user_cols if c not in key
+            ],
         )
         new = _one_per_key(
             self.read(version=m_new["version"], buckets=changed)
@@ -915,19 +928,52 @@ class LakeTable:
         j = new.join(old, key, "full_outer")
         was_live = F.col("__old_del").isNotNull() & ~F.col("__old_del")
         is_live = F.col(DELETED_COL).isNotNull() & ~F.col(DELETED_COL)
-        change = (
-            F.when(~was_live.eqNullSafe(True) & is_live, F.lit("insert"))
-            .when(
-                was_live & is_live & (F.col(LSN_COL) != F.col("__old_lsn")),
-                F.lit("update_postimage"),
-            )
-            .when(was_live & ~is_live.eqNullSafe(True), F.lit("delete"))
+        is_insert = ~was_live.eqNullSafe(True) & is_live
+        is_update = was_live & is_live & (
+            F.col(LSN_COL) != F.col("__old_lsn")
         )
-        user_cols = [f.split(" ")[0] for f in m_new["schema_ddl"].split(", ")]
+        is_delete = was_live & ~is_live.eqNullSafe(True)
+        if not include_preimages:
+            change = (
+                F.when(is_insert, F.lit("insert"))
+                .when(is_update, F.lit("update_postimage"))
+                .when(is_delete, F.lit("delete"))
+            )
+            return (
+                j.withColumn("_change_type", change)
+                .filter(F.col("_change_type").isNotNull())
+                .select(*user_cols, "_change_type")
+            )
+        # Preimage mode (the Delta CDF shape): updates emit BOTH rows
+        # (pre with the old values, post with the new); deletes carry
+        # the OLD values (the row that disappeared — a tombstone's own
+        # nulled payload tells a consumer nothing). One pass over the
+        # join via an exploded row array — the join is never recomputed.
+
+        def _img(ctype: str, old_side: bool):
+            return F.struct(
+                F.lit(ctype).alias("_change_type"),
+                *[
+                    (
+                        F.col(c) if c in key else (
+                            F.col(f"__old_{c}") if old_side else F.col(c)
+                        )
+                    ).alias(c)
+                    for c in user_cols
+                ],
+            )
+
+        rows = (
+            F.when(is_insert, F.array(_img("insert", False)))
+            .when(is_update, F.array(
+                _img("update_preimage", True),
+                _img("update_postimage", False),
+            ))
+            .when(is_delete, F.array(_img("delete", True)))
+        )
         return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(*user_cols, "_change_type")
+            j.select(F.explode(rows).alias("__r"))
+            .select(*[f"__r.{c}" for c in user_cols], "__r._change_type")
         )
 
     # ---------------------------------------------------------- maintenance
@@ -1090,8 +1136,14 @@ class LakeTable:
                     victims.append(int(b))
         if not victims:
             return {"buckets_compacted": 0, "applied": False}
-        content = self.read(version=m["version"], buckets=victims).repartition(
-            len(victims), *m["key_cols"]
+        content = (
+            self.read(version=m["version"], buckets=victims)
+            # bucket-value partitioning -> ONE file per compacted
+            # bucket; in-task sort clusters it by key so row-group
+            # min/max stats serve later key-predicate scans (see
+            # compact_files for the rationale)
+            .repartition(len(victims), F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, *m["key_cols"])
         )
         ok = self.commit(
             content,
@@ -1150,8 +1202,14 @@ class LakeTable:
             )
             # partition on the BUCKET VALUE (not the key hash): all of a
             # bucket's rows land in one task, so the partitionBy write
-            # emits exactly ONE packed file per victim bucket
+            # emits exactly ONE packed file per victim bucket; sorting
+            # within the task CLUSTERS the packed file by key, giving
+            # parquet row-group min/max stats that let later key-
+            # predicate scans skip row groups (the OPTIMIZE-ZORDER
+            # analog, 1-D) — compaction is the one time this sort is
+            # free to amortize
             .repartition(len(victims), F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, *m["key_cols"])
         )
         ok = self.commit(
             content,

@@ -561,3 +561,55 @@ def test_compact_files_bin_packs_append_buckets(spark, tmp_lake_dir):
         assert lake.commit(df, [], f"app-{i}", None, mode="append")
     res3 = lake.compact_files(max_files_per_bucket=4)
     assert not res3["applied"], res3
+
+
+def test_compaction_clusters_files_by_key(spark, tmp_lake_dir):
+    """Compacted files are key-clustered (in-task sort before the
+    write): parquet row-group conv_id min/max come out ordered, so
+    key-predicate scans can skip row groups — and delta compaction
+    packs each victim bucket to ONE file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    for i in range(6):
+        rows = [
+            (f"c{k:03d}", 0, "user", f"t{i}", None,
+             "2024-01-01 00:00:00", i * 100 + k)
+            for k in range(40)
+        ]
+        df = _with_bucket(lake, _mk(spark, rows))
+        assert lake.commit(df, [], f"a-{i}", None, mode="append")
+    assert lake.compact_files(max_files_per_bucket=2)["applied"]
+    ent = lake.bucket_entries()
+    for b, e in ent.items():
+        assert len(e["files"]) == 1
+        md = pq.read_metadata(os.path.join(tmp_lake_dir, e["files"][0]))
+        pf = pq.ParquetFile(os.path.join(tmp_lake_dir, e["files"][0]))
+        col = [f.name for f in pf.schema_arrow].index("conv_id")
+        rows = pf.read().to_pydict()["conv_id"]
+        assert rows == sorted(rows), f"bucket {b} not key-clustered"
+
+    # delta compaction: same packing guarantee
+    lake2 = LakeTable.create(
+        spark, tmp_lake_dir + "2", TRANSCRIPTS_DDL, KEY_COLS, 2
+    )
+    from etl_bitcoin_spark.tableformat.lake import DELETED_COL
+
+    for i in range(4):
+        rows = [
+            (f"c{k:03d}", 1, "user", f"d{i}", None,
+             "2024-01-01 00:00:01", 1000 + i * 100 + k)
+            for k in range(40)
+        ]
+        df = _with_bucket(lake2, _mk(spark, rows)).withColumn(
+            DELETED_COL, F.lit(False)
+        )
+        assert lake2.commit(df, [], f"d-{i}", None, mode="delta")
+    assert lake2.compact_deltas(max_deltas_per_bucket=1)["applied"]
+    for b, e in lake2.bucket_entries().items():
+        assert len(e["files"]) == 1 and not e["deltas"]
+        pf = pq.ParquetFile(os.path.join(tmp_lake_dir + "2", e["files"][0]))
+        rows = pf.read().to_pydict()["conv_id"]
+        assert rows == sorted(rows), f"bucket {b} not key-clustered"
