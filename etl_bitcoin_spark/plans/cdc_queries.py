@@ -371,6 +371,59 @@ def q_cdc_change_feed_pre(spark, sf_dir):
     return ch.select("conv_id", "turn_idx", "_change_type", "text")
 
 
+def q_cdc_incremental_projection(spark, sf_dir):
+    """Incremental materialized-view maintenance under the oracle gate:
+    the per-conversation rollup is kept current by a relay tick after
+    EVERY upstream micro-batch (bootstrap rebuild on tick 1, then
+    changed-conversations-only refreshes via the change feed), and the
+    final downstream table must equal a from-scratch rollup of the full
+    sequential replay — proving incremental == full recompute. (tmp-dir
+    lifetime note as in q_cdc_time_travel.)"""
+    import os
+    import tempfile
+
+    from ..operators.incremental import (
+        create_conv_summary_table,
+        refresh_conv_summaries,
+    )
+    from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
+    from ..tableformat.lake import LakeTable
+
+    b = derived_binlog(spark, sf_dir)
+    lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="gate_ip_", dir=base)
+    lake = LakeTable.create(
+        spark, os.path.join(root, "up"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    down = create_conv_summary_table(
+        spark, os.path.join(root, "down"), n_buckets=8
+    )
+    width = (int(hi) - int(lo) + 4) // 4
+    for i in range(4):
+        s = int(lo) + i * width
+        e = min(s + width - 1, int(hi))
+        if s > int(hi):
+            break
+        apply_batch(
+            lake,
+            b.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
+            f"up-{i}",
+            lsn_range_hint=(s, e),
+        )
+        r = refresh_conv_summaries(lake, down)
+        assert r["applied"], r
+    return down.read(user_cols=True).select(
+        "conv_id",
+        "n_turns",
+        "n_tool_turns",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts_str"
+        ),
+        "total_chars",
+    )
+
+
 def q_cdc_windowed_op_counts(spark, sf_dir):
     """The streaming windowed-agg OPERATOR (streaming/stateful.py:
     windowed_op_counts — tumbling event-time windows + watermark) under
@@ -396,6 +449,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_change_feed_pre": q_cdc_change_feed_pre,
+    "cdc_incremental_projection": q_cdc_incremental_projection,
     "cdc_windowed_op_counts": q_cdc_windowed_op_counts,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
@@ -447,6 +501,18 @@ UNION ALL SELECT * FROM edges UNION ALL SELECT * FROM lin
     "cdc_lww_apply_mor": _LWW_SQL,
     # a mid-replay snapshot must expose exactly the lsn-prefix state
     "cdc_time_travel": _lww_state_sql(f"lsn <= {_CUT_SQL}"),
+    # incremental view maintenance == full recompute over the converged
+    # winners (the relay applied one tick per upstream micro-batch)
+    "cdc_incremental_projection": f"""
+WITH winners AS ({_LWW_SQL})
+SELECT conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_tool_turns,
+       max(ts_str) AS last_ts_str,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
+FROM winners GROUP BY conv_id
+""",
     "cdc_change_feed": f"""
 WITH binlog AS ({_BINLOG_SQL}),
 old_d AS (

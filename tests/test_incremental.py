@@ -1,0 +1,128 @@
+"""Incremental materialized-view maintenance (operators/incremental):
+changed-keys-only refresh must equal a full recompute, propagate
+deletes, touch only the affected downstream buckets, and stay
+exactly-once across replayed ticks."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_bitcoin_spark.operators.incremental import (
+    conv_summaries,
+    create_conv_summary_table,
+    refresh_conv_summaries,
+)
+from etl_bitcoin_spark.operators.merge import (
+    BINLOG_DDL,
+    KEY_COLS,
+    TRANSCRIPTS_DDL,
+    apply_batch,
+)
+from etl_bitcoin_spark.tableformat import LakeTable
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (l, op, c, t, "user" if op != "D" else None,
+             x, tool, datetime(2024, 1, 1, 0, 0, 0, l))
+            for (l, op, c, t, x, tool) in rows
+        ],
+        BINLOG_DDL,
+    )
+
+
+def _down_state(down):
+    return {
+        r.conv_id: (r.n_turns, r.n_tool_turns, r.total_chars)
+        for r in down.read(user_cols=True).collect()
+    }
+
+
+def _full_recompute(up):
+    return {
+        r.conv_id: (r.n_turns, r.n_tool_turns, r.total_chars)
+        for r in conv_summaries(up.read(user_cols=True)).collect()
+    }
+
+
+def test_incremental_refresh_equals_full_and_prunes(spark, tmp_path):
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    down = create_conv_summary_table(
+        spark, str(tmp_path / "down"), n_buckets=8
+    )
+    # batch 1: 20 convs -> bootstrap rebuild
+    apply_batch(
+        up,
+        _ev(spark, [(c * 3 + t, "I", f"c{c}", t, f"x{c}{t}",
+                     "tool" if t == 0 else None)
+                    for c in range(20) for t in range(3)]),
+        "b1", lsn_range_hint=(0, 59),
+    )
+    r1 = refresh_conv_summaries(up, down)
+    assert r1["applied"] and r1["from"] == 0
+    assert _down_state(down) == _full_recompute(up)
+
+    # batch 2: touch ONLY convs c0 and c1 -> pruned tick
+    apply_batch(
+        up,
+        _ev(spark, [(100, "U", "c0", 0, "longer-text", None),
+                    (101, "I", "c1", 5, "new-turn", "tool"),
+                    (102, "D", "c0", 2, None, None)]),
+        "b2", lsn_range_hint=(100, 102),
+    )
+    r2 = refresh_conv_summaries(up, down)
+    assert r2["applied"]
+    assert r2["buckets"] < 8, r2  # only the changed convs' buckets
+    assert _down_state(down) == _full_recompute(up)
+
+    # batch 3: delete EVERY turn of c2 -> the summary row must vanish
+    apply_batch(
+        up,
+        _ev(spark, [(200 + t, "D", "c2", t, None, None) for t in range(3)]),
+        "b3", lsn_range_hint=(200, 202),
+    )
+    r3 = refresh_conv_summaries(up, down)
+    assert r3["applied"]
+    st = _down_state(down)
+    assert "c2" not in st
+    assert st == _full_recompute(up)
+
+    # no new upstream commits -> no-op tick; cursor stable
+    r4 = refresh_conv_summaries(up, down)
+    assert r4 == {"applied": False, "reason": "up to date",
+                  "cursor": r3["cursor"]}
+
+    # crash-replay of the SAME span: the downstream batch id absorbs it
+    r5 = refresh_conv_summaries(up, down, upto_version=r3["cursor"])
+    assert not r5["applied"]
+
+
+def test_incremental_cursor_survives_maintenance_commits(spark, tmp_path):
+    """Downstream maintenance (compaction) between ticks must not lose
+    the relay cursor (it walks parents to the last relay commit)."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 2
+    )
+    down = create_conv_summary_table(
+        spark, str(tmp_path / "down"), n_buckets=2
+    )
+    apply_batch(
+        up,
+        _ev(spark, [(i, "I", f"c{i % 5}", i // 5, "x", None)
+                    for i in range(20)]),
+        "b1", lsn_range_hint=(0, 19),
+    )
+    r1 = refresh_conv_summaries(up, down)
+    assert r1["applied"]
+    # a maintenance commit lands on the downstream between ticks
+    down.expire_snapshots(keep_last=10)
+    apply_batch(
+        up, _ev(spark, [(50, "I", "c0", 9, "y", None)]), "b2",
+        lsn_range_hint=(50, 50),
+    )
+    r2 = refresh_conv_summaries(up, down)
+    assert r2["applied"] and r2["from"] == r1["cursor"]
+    assert _down_state(down) == _full_recompute(up)
