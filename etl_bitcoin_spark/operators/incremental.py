@@ -7,17 +7,24 @@ materialized-view pattern (Delta CDF -> MERGE propagation), built on
 this engine's own primitives (``read_changes`` version diff +
 bucket-pruned reads + idempotent replace commits).
 
-At 100 TB the point is the asymmetry: a tick that touched 0.1% of the
-conversations reads the change feed (bucket-pruned by manifest pointer
-diff), the upstream rows of just those conversations (broadcast semi
-join — the changed-key set is small by construction), and rewrites just
-the downstream buckets those keys hash to. Nothing anywhere is
-proportional to total table size except the manifest root.
+At 100 TB the point is the asymmetry on the WRITE side: a tick that
+touched 0.1% of the conversations reads the change feed (bucket-pruned
+by manifest pointer diff) and rewrites only the downstream buckets
+those keys hash to. The upstream recompute is a column-pruned scan
+filtered by the broadcast key set — upstream buckets hash on
+(conv_id, turn_idx), so conversation-level file pruning is not
+available there (a conv-clustered layout would make it sublinear;
+accepted tradeoff, the scan is projection-narrow and shuffle-free).
 
 Exactly-once: the downstream commit's batch id is derived from the
 upstream version span, so a crashed-and-replayed tick is a metadata
 no-op, and the relay cursor (last propagated upstream version) rides
 the downstream snapshot's metrics — no side state to lose.
+
+Retention contract (the standard CDF constraint): the upstream's
+``expire_snapshots`` keep-window must cover the relay lag — diffing
+from an expired version raises; recover by re-bootstrapping the
+downstream (drop + full rebuild tick).
 """
 
 from __future__ import annotations
@@ -63,10 +70,16 @@ def _relay_cursor(downstream: LakeTable) -> int:
     """Last upstream version this downstream has absorbed (0 = never).
     Walks back from the latest snapshot to the most recent relay
     commit — bounded by the commits since (maintenance commits on the
-    downstream are the only interleavers)."""
+    downstream are the only interleavers). If expiry removed the chain
+    below the latest snapshot before reaching a relay commit, the
+    cursor is lost — return 0 so the next tick re-bootstraps (full
+    rebuild) instead of crashing."""
     v = downstream.snapshot()["version"]
     while v >= 1:
-        m = downstream.snapshot(v)
+        try:
+            m = downstream.snapshot(v)
+        except FileNotFoundError:
+            return 0
         got = (m.get("metrics") or {}).get("relay_upstream_version")
         if got is not None:
             return int(got)
@@ -88,48 +101,58 @@ def refresh_conv_summaries(
     last_v = _relay_cursor(downstream)
     if up_v <= last_v:
         return {"applied": False, "reason": "up to date", "cursor": last_v}
-    if last_v == 0:
-        # bootstrap: full rebuild (first tick of a new downstream)
-        changed_keys = None
-    else:
-        changed_keys = (
-            upstream.read_changes(last_v, up_v)
-            .select("conv_id")
-            .distinct()
-        )
-
     live = upstream.read(version=up_v, user_cols=True)
     snap_d = downstream.snapshot()
     n_buckets = snap_d["n_buckets"]
     bucket_of = downstream.bucket_expr(n_buckets, ["conv_id"])
 
-    if changed_keys is None:
-        summaries = conv_summaries(live)
-        affected = list(range(n_buckets))
-        content = summaries
-    else:
-        # the changed-key set is small by construction (one tick's
-        # churn): broadcast it into a semi-joined pruned recompute
-        touched = live.join(F.broadcast(changed_keys), "conv_id", "semi")
-        summaries = conv_summaries(touched)
-        affected = sorted(
-            r["b"]
-            for r in changed_keys.select(bucket_of.alias("b"))
+    changed: list | None = None
+    if last_v != 0:
+        # Materialize the changed-key set ONCE (it is one tick's churn,
+        # small by construction — the collect also caps how much work
+        # the joins below can fan out). The change feed would otherwise
+        # be recomputed by every consumer of the frame (bucket collect,
+        # semi join, anti join).
+        changed = [
+            (r["conv_id"], int(r["b"]))
+            for r in upstream.read_changes(last_v, up_v)
+            .select("conv_id")
             .distinct()
+            .select("conv_id", bucket_of.alias("b"))
             .collect()
-        )
-        kept = downstream.read(
-            version=snap_d["version"], buckets=affected, user_cols=True
-        ).join(F.broadcast(changed_keys), "conv_id", "anti")
-        content = kept.unionByName(summaries)
+        ]
 
-    ok = downstream.commit(
-        content.withColumn(LSN_COL, F.lit(up_v).cast("long"))
+    stamp = (
+        lambda df: df.withColumn(LSN_COL, F.lit(up_v).cast("long"))
         .withColumn(DELETED_COL, F.lit(False))
         .withColumn(BUCKET_COL, bucket_of)
+    )
+    if changed is None:
+        # bootstrap: full rebuild (first tick, or cursor lost to expiry)
+        affected = list(range(n_buckets))
+        content = stamp(conv_summaries(live))
+    else:
+        spark = upstream.spark
+        keys = F.broadcast(
+            spark.createDataFrame(
+                [(c,) for c, _ in changed], "conv_id string"
+            )
+        )
+        summaries = conv_summaries(live.join(keys, "conv_id", "semi"))
+        affected = sorted({b for _, b in changed})
+        # Kept rows keep their ORIGINAL __lsn/__deleted (raw read, no
+        # restamp): restamping every co-bucketed row at up_v would make
+        # the DOWNSTREAM's own change feed report phantom updates for
+        # conversations that never changed, breaking relay chaining.
+        kept = downstream.read(
+            version=snap_d["version"], buckets=affected
+        ).join(keys, "conv_id", "anti")
+        content = kept.unionByName(stamp(summaries))
+
+    ok = downstream.commit(
         # partition on the bucket VALUE: one output file per replaced
         # bucket even when `affected` is a sparse subset
-        .repartition(max(1, len(affected)), F.col(BUCKET_COL)),
+        content.repartition(max(1, len(affected)), F.col(BUCKET_COL)),
         affected,
         batch_id=f"relay-{last_v}-{up_v}",
         metrics={"relay_upstream_version": up_v,

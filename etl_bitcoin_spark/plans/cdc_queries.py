@@ -70,30 +70,41 @@ def _winners(binlog: DataFrame) -> DataFrame:
     )
 
 
+def _win_sql(lsn_pred: str = "TRUE", cols: tuple[str, ...] = ()) -> str:
+    """THE winner-per-key resolution, as a parenthesized SQL subquery:
+    sequential-replay LWW (tombstones, then ts-desc/lsn-desc tie-break)
+    over the binlog prefix where ``lsn_pred`` holds. Every oracle that
+    needs winner state composes THIS — the tie-break lives in exactly
+    one place. ``cols`` appends extra winner columns to the key +
+    win_lsn projection."""
+    extra = "".join(f", {c}" for c in cols)
+    return f"""(
+  SELECT conv_id, turn_idx, lsn AS win_lsn{extra} FROM (
+    SELECT b.*, row_number() OVER (
+      PARTITION BY b.conv_id, b.turn_idx
+      ORDER BY b.ts DESC, b.lsn DESC) AS rn
+    FROM binlog b
+    LEFT JOIN (
+      SELECT conv_id, turn_idx, max(lsn) AS d_lsn
+      FROM binlog WHERE op = 'D' AND {lsn_pred}
+      GROUP BY conv_id, turn_idx
+    ) d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+    WHERE b.op <> 'D' AND {lsn_pred}
+      AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
+  ) WHERE rn = 1
+)"""
+
+
 def _lww_state_sql(lsn_pred: str = "TRUE") -> str:
-    """Sequential-replay LWW oracle (tombstones + ts-then-lsn
-    resolution) over the binlog prefix where ``lsn_pred`` holds —
-    ``TRUE`` gives the full-replay converged state; an ``lsn <= cut``
-    predicate gives the state a mid-replay snapshot must expose."""
+    """Converged-state oracle over the prefix where ``lsn_pred`` holds —
+    ``TRUE`` gives the full replay; an ``lsn <= cut`` predicate gives
+    the state a mid-replay snapshot must expose."""
     return f"""
 WITH binlog AS ({_BINLOG_SQL}),
-last_d AS (
-  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
-  FROM binlog WHERE op = 'D' AND {lsn_pred} GROUP BY conv_id, turn_idx
-),
-live AS (
-  SELECT b.* FROM binlog b
-  LEFT JOIN last_d d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
-  WHERE b.op <> 'D' AND {lsn_pred} AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
-),
-ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
-  FROM live
-)
+w AS {_win_sql(lsn_pred, ("role", "text", "tool", "ts"))}
 SELECT conv_id, turn_idx, role, text, tool,
-       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, lsn AS win_lsn
-FROM ranked WHERE rn = 1
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, win_lsn
+FROM w
 """
 
 
@@ -103,6 +114,49 @@ _LWW_SQL = _lww_state_sql()
 # replay micro-batches (shared arithmetic: _replay_lake_mow computes the
 # identical value with Python ints, the oracles with DuckDB int division).
 _CUT_SQL = "(SELECT min(lsn) + 2 * ((max(lsn) - min(lsn) + 4) // 4) - 1 FROM binlog)"
+
+
+def _change_feed_sql(with_images: bool) -> str:
+    """Prefix-vs-full state-diff oracle for read_changes, composed from
+    _win_sql (one resolution definition). ``with_images`` adds the
+    Delta-CDF row shape: update pre+post pairs and deletes carrying the
+    vanished row's text."""
+    head = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+old_win AS {_win_sql(f"lsn <= {_CUT_SQL}", ("text",))},
+new_win AS {_win_sql("TRUE", ("text",))},
+pairs AS (
+  SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
+         coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
+         n.win_lsn AS n_l, n.text AS n_x,
+         o.win_lsn AS o_l, o.text AS o_x
+  FROM new_win n FULL OUTER JOIN old_win o
+    ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+)"""
+    if not with_images:
+        return head + """
+SELECT conv_id, turn_idx, _change_type FROM (
+  SELECT conv_id, turn_idx,
+         CASE WHEN o_l IS NULL THEN 'insert'
+              WHEN n_l IS NULL THEN 'delete'
+              WHEN n_l <> o_l THEN 'update_postimage'
+         END AS _change_type
+  FROM pairs
+) WHERE _change_type IS NOT NULL
+"""
+    return head + """
+SELECT conv_id, turn_idx, 'insert' AS _change_type, n_x AS text
+FROM pairs WHERE o_l IS NULL AND n_l IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'update_preimage', o_x
+FROM pairs WHERE o_l IS NOT NULL AND n_l IS NOT NULL AND n_l <> o_l
+UNION ALL
+SELECT conv_id, turn_idx, 'update_postimage', n_x
+FROM pairs WHERE o_l IS NOT NULL AND n_l IS NOT NULL AND n_l <> o_l
+UNION ALL
+SELECT conv_id, turn_idx, 'delete', o_x
+FROM pairs WHERE n_l IS NULL AND o_l IS NOT NULL
+"""
 
 
 # Queries -------------------------------------------------------------------
@@ -258,34 +312,17 @@ def q_cdc_lww_apply_mor(spark, sf_dir):
     ``cdc_lww_apply`` — proving base-vs-delta resolution is exact end to
     end, not just in pytest. (The gate lake lives in a tmp dir that must
     outlive this call — the driver collects the returned frame lazily.)"""
-    import os
-    import tempfile
+    from ..tableformat.lake import DELETED_COL, LSN_COL
 
-    from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
-    from ..tableformat.lake import DELETED_COL, LSN_COL, LakeTable
-
-    b = derived_binlog(spark, sf_dir)
-    lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    root = tempfile.mkdtemp(prefix="gate_mor_", dir=base)
-    lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, 8)
-    width = (int(hi) - int(lo) + 4) // 4
-    for i in range(4):
-        s = int(lo) + i * width
-        e = min(s + width - 1, int(hi))
-        if s > int(hi):
-            break
-        apply_batch(
-            lake,
-            b.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
-            f"mor-{i}",
-            lsn_range_hint=(s, e),
-            merge_mode="read",
-        )
+    def _mid_compact(i, lake):
         if i == 1:
             # compact mid-replay so the final read resolves a MIX of
             # compacted base + later deltas (the hard case)
             lake.compact_deltas(max_deltas_per_bucket=1, batch_id="mor-c1")
+
+    lake, _ = _replay_lake_mow(
+        spark, sf_dir, "gate_mor_", merge_mode="read", on_batch=_mid_compact
+    )
     st = lake.read()
     return st.filter(~F.col(DELETED_COL)).select(
         "conv_id", "turn_idx", "role", "text", "tool",
@@ -294,22 +331,29 @@ def q_cdc_lww_apply_mor(spark, sf_dir):
     )
 
 
-def _replay_lake_mow(spark, sf_dir, tmp_prefix):
-    """Replay the derived binlog into a fresh LakeTable as 4 ordered
-    equal-width merge-on-write micro-batches. Returns ``(lake, v_mid)``
-    where ``v_mid`` is the committed snapshot version after the 2nd
-    batch — the prefix boundary the SQL oracles reconstruct via
-    ``_CUT_SQL`` (same integer arithmetic on both engines)."""
+def _gate_tmpdir(prefix):
     import os
     import tempfile
 
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def _replay_lake_mow(spark, sf_dir, tmp_prefix, merge_mode="write",
+                     on_batch=None):
+    """Replay the derived binlog into a fresh LakeTable as 4 ordered
+    equal-width micro-batches — THE replay every lake gate shares, so
+    its width arithmetic stays bit-identical to ``_CUT_SQL``. Returns
+    ``(lake, v_mid)`` where ``v_mid`` is the committed snapshot version
+    after the 2nd batch (captured BEFORE any ``on_batch`` side
+    effects). ``on_batch(i, lake)`` runs after each applied batch —
+    mid-replay compaction, relay ticks, etc."""
     from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
     from ..tableformat.lake import LakeTable
 
     b = derived_binlog(spark, sf_dir)
     lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    root = tempfile.mkdtemp(prefix=tmp_prefix, dir=base)
+    root = _gate_tmpdir(tmp_prefix)
     lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, 8)
     width = (int(hi) - int(lo) + 4) // 4
     v_mid = None
@@ -323,9 +367,12 @@ def _replay_lake_mow(spark, sf_dir, tmp_prefix):
             b.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
             f"replay-{i}",
             lsn_range_hint=(s, e),
+            merge_mode=merge_mode,
         )
         if i == 1:
             v_mid = lake.snapshot()["version"]
+        if on_batch is not None:
+            on_batch(i, lake)
     return lake, v_mid
 
 
@@ -379,40 +426,20 @@ def q_cdc_incremental_projection(spark, sf_dir):
     final downstream table must equal a from-scratch rollup of the full
     sequential replay — proving incremental == full recompute. (tmp-dir
     lifetime note as in q_cdc_time_travel.)"""
-    import os
-    import tempfile
-
     from ..operators.incremental import (
         create_conv_summary_table,
         refresh_conv_summaries,
     )
-    from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
-    from ..tableformat.lake import LakeTable
 
-    b = derived_binlog(spark, sf_dir)
-    lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    root = tempfile.mkdtemp(prefix="gate_ip_", dir=base)
-    lake = LakeTable.create(
-        spark, os.path.join(root, "up"), TRANSCRIPTS_DDL, KEY_COLS, 8
-    )
     down = create_conv_summary_table(
-        spark, os.path.join(root, "down"), n_buckets=8
+        spark, _gate_tmpdir("gate_ipd_"), n_buckets=8
     )
-    width = (int(hi) - int(lo) + 4) // 4
-    for i in range(4):
-        s = int(lo) + i * width
-        e = min(s + width - 1, int(hi))
-        if s > int(hi):
-            break
-        apply_batch(
-            lake,
-            b.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
-            f"up-{i}",
-            lsn_range_hint=(s, e),
-        )
+
+    def _tick(i, lake):
         r = refresh_conv_summaries(lake, down)
         assert r["applied"], r
+
+    _replay_lake_mow(spark, sf_dir, "gate_ip_", on_batch=_tick)
     return down.read(user_cols=True).select(
         "conv_id",
         "n_turns",
@@ -513,107 +540,8 @@ SELECT conv_id,
        CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
 FROM winners GROUP BY conv_id
 """,
-    "cdc_change_feed": f"""
-WITH binlog AS ({_BINLOG_SQL}),
-old_d AS (
-  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
-  FROM binlog WHERE op = 'D' AND lsn <= {_CUT_SQL}
-  GROUP BY conv_id, turn_idx
-),
-old_win AS (
-  SELECT conv_id, turn_idx, lsn AS win_lsn FROM (
-    SELECT b.conv_id, b.turn_idx, b.lsn, row_number() OVER (
-      PARTITION BY b.conv_id, b.turn_idx
-      ORDER BY b.ts DESC, b.lsn DESC) AS rn
-    FROM binlog b
-    LEFT JOIN old_d d
-      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
-    WHERE b.op <> 'D' AND b.lsn <= {_CUT_SQL}
-      AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
-  ) WHERE rn = 1
-),
-new_d AS (
-  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
-  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
-),
-new_win AS (
-  SELECT conv_id, turn_idx, lsn AS win_lsn FROM (
-    SELECT b.conv_id, b.turn_idx, b.lsn, row_number() OVER (
-      PARTITION BY b.conv_id, b.turn_idx
-      ORDER BY b.ts DESC, b.lsn DESC) AS rn
-    FROM binlog b
-    LEFT JOIN new_d d
-      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
-    WHERE b.op <> 'D' AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
-  ) WHERE rn = 1
-),
-diff AS (
-  SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
-         coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
-         CASE WHEN o.win_lsn IS NULL THEN 'insert'
-              WHEN n.win_lsn IS NULL THEN 'delete'
-              WHEN n.win_lsn <> o.win_lsn THEN 'update_postimage'
-         END AS _change_type
-  FROM new_win n FULL OUTER JOIN old_win o
-    ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
-)
-SELECT conv_id, turn_idx, _change_type
-FROM diff WHERE _change_type IS NOT NULL
-""",
-    "cdc_change_feed_pre": f"""
-WITH binlog AS ({_BINLOG_SQL}),
-old_d AS (
-  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
-  FROM binlog WHERE op = 'D' AND lsn <= {_CUT_SQL}
-  GROUP BY conv_id, turn_idx
-),
-old_win AS (
-  SELECT conv_id, turn_idx, lsn AS win_lsn, text FROM (
-    SELECT b.conv_id, b.turn_idx, b.lsn, b.text, row_number() OVER (
-      PARTITION BY b.conv_id, b.turn_idx
-      ORDER BY b.ts DESC, b.lsn DESC) AS rn
-    FROM binlog b
-    LEFT JOIN old_d d
-      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
-    WHERE b.op <> 'D' AND b.lsn <= {_CUT_SQL}
-      AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
-  ) WHERE rn = 1
-),
-new_d AS (
-  SELECT conv_id, turn_idx, max(lsn) AS d_lsn
-  FROM binlog WHERE op = 'D' GROUP BY conv_id, turn_idx
-),
-new_win AS (
-  SELECT conv_id, turn_idx, lsn AS win_lsn, text FROM (
-    SELECT b.conv_id, b.turn_idx, b.lsn, b.text, row_number() OVER (
-      PARTITION BY b.conv_id, b.turn_idx
-      ORDER BY b.ts DESC, b.lsn DESC) AS rn
-    FROM binlog b
-    LEFT JOIN new_d d
-      ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
-    WHERE b.op <> 'D' AND (d.d_lsn IS NULL OR b.lsn > d.d_lsn)
-  ) WHERE rn = 1
-),
-pairs AS (
-  SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
-         coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
-         n.win_lsn AS n_l, n.text AS n_x,
-         o.win_lsn AS o_l, o.text AS o_x
-  FROM new_win n FULL OUTER JOIN old_win o
-    ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
-)
-SELECT conv_id, turn_idx, 'insert' AS _change_type, n_x AS text
-FROM pairs WHERE o_l IS NULL AND n_l IS NOT NULL
-UNION ALL
-SELECT conv_id, turn_idx, 'update_preimage', o_x
-FROM pairs WHERE o_l IS NOT NULL AND n_l IS NOT NULL AND n_l <> o_l
-UNION ALL
-SELECT conv_id, turn_idx, 'update_postimage', n_x
-FROM pairs WHERE o_l IS NOT NULL AND n_l IS NOT NULL AND n_l <> o_l
-UNION ALL
-SELECT conv_id, turn_idx, 'delete', o_x
-FROM pairs WHERE n_l IS NULL AND o_l IS NOT NULL
-""",
+    "cdc_change_feed": _change_feed_sql(with_images=False),
+    "cdc_change_feed_pre": _change_feed_sql(with_images=True),
     "cdc_windowed_op_counts": f"""
 WITH binlog AS ({_BINLOG_SQL})
 SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')

@@ -81,8 +81,11 @@ def main() -> None:
                 args.compact_tombstones, batch_id=f"maint-ct-{run_id}"
             )
         if args.rescale is not None:
+            # run_id in the batch id: rescaling back to a previously
+            # used bucket count later must not be absorbed as a
+            # duplicate by the durable batch ledger
             out["rescale"] = lake.rescale_buckets(
-                args.rescale, batch_id=f"maint-rs-{args.rescale}"
+                args.rescale, batch_id=f"maint-rs-{args.rescale}-{run_id}"
             )
         if args.expire is not None:
             out["expire"] = lake.expire_snapshots(

@@ -126,3 +126,35 @@ def test_incremental_cursor_survives_maintenance_commits(spark, tmp_path):
     r2 = refresh_conv_summaries(up, down)
     assert r2["applied"] and r2["from"] == r1["cursor"]
     assert _down_state(down) == _full_recompute(up)
+
+
+def test_downstream_change_feed_has_no_phantom_updates(spark, tmp_path):
+    """Relay chaining: a tick must not restamp unchanged co-bucketed
+    rows, or the DOWNSTREAM's own change feed reports phantom updates
+    and a chained consumer recomputes rows that never changed."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 2
+    )
+    # 2 downstream buckets -> changed and unchanged convs must collide
+    down = create_conv_summary_table(
+        spark, str(tmp_path / "down"), n_buckets=2
+    )
+    apply_batch(
+        up,
+        _ev(spark, [(c * 2 + t, "I", f"c{c}", t, "x", None)
+                    for c in range(12) for t in range(2)]),
+        "b1", lsn_range_hint=(0, 23),
+    )
+    assert refresh_conv_summaries(up, down)["applied"]
+    v_down = down.snapshot()["version"]
+
+    # touch exactly ONE conversation upstream
+    apply_batch(
+        up, _ev(spark, [(100, "U", "c3", 0, "xx", None)]), "b2",
+        lsn_range_hint=(100, 100),
+    )
+    assert refresh_conv_summaries(up, down)["applied"]
+
+    ch = down.read_changes(v_down).collect()
+    assert {r.conv_id for r in ch} == {"c3"}, ch
+    assert [r._change_type for r in ch] == ["update_postimage"]
