@@ -83,3 +83,55 @@ def test_random_streams_converge_to_oracle(spark, tmp_path_factory, stream, widt
     got["turn_idx"] = got["turn_idx"].astype("int64")
     want["turn_idx"] = want["turn_idx"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    stream=event_streams(),
+    width=st.sampled_from([9, 1000]),
+    new_n=st.sampled_from([1, 3, 16]),
+    mid=st.booleans(),
+)
+def test_random_streams_survive_rescale(
+    spark, tmp_path_factory, stream, width, new_n, mid
+):
+    """Rescale invariance under adversarial streams: rescaling mid-
+    replay (between chunks) or post-replay to any bucket count must
+    leave the converged state equal to the oracle — tombstone carriage
+    and the layout fence included."""
+    pdf = pd.DataFrame(stream)
+    lake_dir = str(tmp_path_factory.mktemp("prop_rs"))
+    lake = LakeTable.create(spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    ev = spark.createDataFrame(
+        [tuple(r[c] for c in
+               ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+         for r in stream],
+        BINLOG_DDL,
+    )
+    if mid:
+        cut = max(r["lsn"] for r in stream) // 2
+        from pyspark.sql import functions as F
+
+        replay(lake, ev.filter(F.col("lsn") <= cut), batch_lsn_width=width)
+        lake.rescale_buckets(new_n, "prop-rs")
+        replay(lake, ev.filter(F.col("lsn") > cut), batch_lsn_width=width,
+               batch_id_prefix="replay2")
+    else:
+        replay(lake, ev, batch_lsn_width=width)
+        lake.rescale_buckets(new_n, "prop-rs")
+    assert lake.snapshot()["n_buckets"] == new_n
+    got = (
+        lake.read(user_cols=True)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas().reset_index(drop=True)
+    )
+    want = oracle_replay(pdf)[["conv_id", "turn_idx", "text"]].reset_index(
+        drop=True
+    )
+    want["turn_idx"] = want["turn_idx"].astype(got["turn_idx"].dtype)
+    pd.testing.assert_frame_equal(got, want)
