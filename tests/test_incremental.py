@@ -158,3 +158,36 @@ def test_downstream_change_feed_has_no_phantom_updates(spark, tmp_path):
     ch = down.read_changes(v_down).collect()
     assert {r.conv_id for r in ch} == {"c3"}, ch
     assert [r._change_type for r in ch] == ["update_postimage"]
+
+
+def test_streaming_tail_with_live_relay(spark, tmp_path):
+    """Bronze->silver live: a WAL drained through BinlogTailer with a
+    relay tick after every micro-batch keeps the downstream rollup
+    exactly equal to a full recompute of the converged upstream."""
+    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, write_segments
+    from etl_bitcoin_spark.streaming import BinlogTailer
+
+    pdf = generate_binlog(
+        BinlogSpec(seed=41, n_convs=25, n_events=600, n_segments=6)
+    )
+    wal = str(tmp_path / "wal")
+    write_segments(pdf, wal)
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    down = create_conv_summary_table(
+        spark, str(tmp_path / "down"), n_buckets=4
+    )
+    tailer = BinlogTailer(spark, wal, up, str(tmp_path / "ckpt"),
+                          max_files_per_trigger=2)
+    ticks = []
+    orig = tailer._apply
+
+    def _apply_and_tick(batch_df, batch_id):
+        orig(batch_df, batch_id)
+        ticks.append(refresh_conv_summaries(up, down))
+
+    tailer._apply = _apply_and_tick
+    tailer.run_available()
+    assert sum(1 for t in ticks if t["applied"]) >= 2
+    assert _down_state(down) == _full_recompute(up)
