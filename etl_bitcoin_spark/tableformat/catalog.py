@@ -345,7 +345,10 @@ class LakeCatalog:
         return sorted(out)
 
     def expire_snapshots(
-        self, keep_last: int = 10, orphan_grace_sec: float | None = None
+        self,
+        keep_last: int = 10,
+        orphan_grace_sec: float | None = None,
+        batch_marker_retention_sec: float | None = None,
     ) -> dict[str, Any]:
         """Catalog-coordinated expiry: trim catalog snapshots to the last
         ``keep_last``, then expire each member table while PINNING every
@@ -373,5 +376,28 @@ class LakeCatalog:
             table_stats[name] = self.table(name).expire_snapshots(
                 keep_last=1, pinned_versions=pins,
                 orphan_grace_sec=orphan_grace_sec,
+                batch_marker_retention_sec=batch_marker_retention_sec,
             )
-        return {"catalog_snapshots_removed": removed, "tables": table_stats}
+        # the catalog's own batch ledger has the same unbounded-growth
+        # shape as a table's — same retention contract applies
+        markers = 0
+        if batch_marker_retention_sec is not None:
+            cutoff = time.time() - batch_marker_retention_sec
+            ledger = os.path.join(self.catalog_dir, "batches")
+            for shard in os.listdir(ledger):
+                sd = os.path.join(ledger, shard)
+                if not os.path.isdir(sd):
+                    continue
+                for fn in os.listdir(sd):
+                    p = os.path.join(sd, fn)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            os.remove(p)
+                            markers += 1
+                    except FileNotFoundError:
+                        pass
+        return {
+            "catalog_snapshots_removed": removed,
+            "tables": table_stats,
+            "batch_markers_removed": markers,
+        }

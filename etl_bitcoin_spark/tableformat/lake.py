@@ -982,6 +982,7 @@ class LakeTable:
         keep_last: int = 10,
         pinned_versions: set[int] | None = None,
         orphan_grace_sec: float | None = None,
+        batch_marker_retention_sec: float | None = None,
     ) -> dict[str, int]:
         """Retire old snapshots and delete data files + manifest-tree
         nodes no retained snapshot references (Iceberg-style expire +
@@ -997,7 +998,17 @@ class LakeTable:
         retained snapshot references — the residue of commits that lost
         every CAS retry, raised CommitConflict, or crashed before the
         version claim. The grace period protects concurrent in-flight
-        commits (their staged files are younger)."""
+        commits (their staged files are younger).
+
+        ``batch_marker_retention_sec`` prunes durable batch-ledger
+        markers older than the retention — without it the ledger grows
+        one file per batch FOREVER (a year at 1 batch/s is ~31M
+        markers). Retention contract (the transactional-id-expiry
+        semantics every exactly-once sink has): a batch REPLAYED after
+        the retention window is no longer absorbed by the ledger — set
+        it comfortably above the longest possible checkpoint-replay
+        gap. Recent ids stay covered by the snapshot's inline list
+        regardless."""
         versions = self.versions()
         keep = set(versions[-keep_last:]) | {
             v for v in (pinned_versions or set()) if v in versions
@@ -1111,7 +1122,30 @@ class LakeTable:
             "snapshots_removed": snapshots_removed,
             "files_removed": files_removed,
             "orphans_removed": orphans_removed,
+            "batch_markers_removed": self._prune_batch_markers(
+                batch_marker_retention_sec
+            ),
         }
+
+    def _prune_batch_markers(self, retention_sec: float | None) -> int:
+        if retention_sec is None:
+            return 0
+        cutoff = time.time() - retention_sec
+        removed = 0
+        ledger = os.path.join(self.manifest_dir, "batches")
+        for shard in os.listdir(ledger):
+            sd = os.path.join(ledger, shard)
+            if not os.path.isdir(sd):
+                continue
+            for fn in os.listdir(sd):
+                p = os.path.join(sd, fn)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed += 1
+                except FileNotFoundError:
+                    pass
+        return removed
 
     def compact_deltas(
         self,

@@ -57,6 +57,11 @@ def main() -> None:
     p.add_argument("--rescale", type=int, default=None, metavar="N_BUCKETS")
     p.add_argument("--expire", type=int, default=None, metavar="KEEP_LAST")
     p.add_argument("--orphan-grace", type=float, default=None, metavar="SEC")
+    p.add_argument("--marker-retention", type=float, default=None,
+                   metavar="SEC",
+                   help="with --expire: prune batch-ledger markers older "
+                        "than SEC (replays beyond this window are no "
+                        "longer absorbed)")
     p.add_argument("--shuffle-partitions", type=int, default=256)
     args = p.parse_args()
 
@@ -89,7 +94,8 @@ def main() -> None:
             )
         if args.expire is not None:
             out["expire"] = lake.expire_snapshots(
-                keep_last=args.expire, orphan_grace_sec=args.orphan_grace
+                keep_last=args.expire, orphan_grace_sec=args.orphan_grace,
+                batch_marker_retention_sec=args.marker_retention,
             )
         out["version"] = lake.snapshot()["version"]
         out["n_buckets"] = lake.snapshot()["n_buckets"]
@@ -110,7 +116,8 @@ def main() -> None:
             )
         if args.expire is not None:
             out["expire"] = cat.expire_snapshots(
-                keep_last=args.expire, orphan_grace_sec=args.orphan_grace
+                keep_last=args.expire, orphan_grace_sec=args.orphan_grace,
+                batch_marker_retention_sec=args.marker_retention,
             )
         out["version"] = cat.snapshot()["version"]
 

@@ -613,3 +613,35 @@ def test_compaction_clusters_files_by_key(spark, tmp_lake_dir):
         pf = pq.ParquetFile(os.path.join(tmp_lake_dir + "2", e["files"][0]))
         rows = pf.read().to_pydict()["conv_id"]
         assert rows == sorted(rows), f"bucket {b} not key-clustered"
+
+
+def test_batch_marker_ledger_retention(spark, tmp_lake_dir):
+    """Ledger pruning: markers older than the retention go, recent
+    markers stay and keep absorbing replays; expired-batch replays are
+    no longer absorbed (the documented transactional-id-expiry
+    contract)."""
+    import os
+    import time
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    rows = [("c1", 0, "user", "hi", None, "2024-01-01 00:00:00", 1)]
+    df = _with_bucket(lake, _mk(spark, rows))
+    assert lake.commit(df, [], "old-batch", None, mode="append")
+    df2 = _with_bucket(
+        lake, _mk(spark, [("c2", 0, "user", "yo", None,
+                           "2024-01-01 00:00:01", 2)])
+    )
+    assert lake.commit(df2, [], "new-batch", None, mode="append")
+    # age the first marker past retention
+    old_marker = lake._batch_marker("old-batch")
+    past = time.time() - 3600
+    os.utime(old_marker, (past, past))
+
+    res = lake.expire_snapshots(keep_last=100,
+                                batch_marker_retention_sec=600)
+    assert res["batch_markers_removed"] == 1
+    assert not os.path.exists(old_marker)
+    assert os.path.exists(lake._batch_marker("new-batch"))
+    # recent batch still absorbed; inline list still covers "old-batch"
+    assert not lake.commit(df2, [], "new-batch", None, mode="append")
+    assert not lake.commit(df, [], "old-batch", None, mode="append")
