@@ -143,17 +143,32 @@ class BinlogTailer:
 
     # -------------------------------------------------------------- run
     def _apply(self, batch_df, batch_id: int) -> None:
-        bloom = self._load_bloom()
-        guard = ExactlyOnceFilter(self.lake.lineage(), bloom)
-        res = apply_batch(
-            self.lake,
-            batch_df,
-            f"tail-{self.ns}-{batch_id}",
-            already_applied_filter=guard,
-            assume_all_buckets=self.assume_all_buckets,
-            merge_mode="read" if self.merge_on_read else "write",
-            merge_strategy=self.merge_strategy,
-        )
+        from ..tableformat.lake import CommitConflict
+
+        # A maintenance commit (rescale, compaction) can land between
+        # this batch's snapshot read and its CAS publish; apply_batch
+        # then raises CommitConflict instead of writing against a stale
+        # layout. Recomputing from the fresh snapshot is always safe
+        # (the exactly-once guards are idempotent), so retry instead of
+        # failing the stream — bounded, because back-to-back losses
+        # mean a misconfigured second writer, which SHOULD surface.
+        for attempt in range(3):
+            bloom = self._load_bloom()
+            guard = ExactlyOnceFilter(self.lake.lineage(), bloom)
+            try:
+                res = apply_batch(
+                    self.lake,
+                    batch_df,
+                    f"tail-{self.ns}-{batch_id}",
+                    already_applied_filter=guard,
+                    assume_all_buckets=self.assume_all_buckets,
+                    merge_mode="read" if self.merge_on_read else "write",
+                    merge_strategy=self.merge_strategy,
+                )
+                break
+            except CommitConflict:
+                if attempt == 2:
+                    raise
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])
         if (

@@ -340,3 +340,35 @@ def test_rescale_mid_stream_reconverges(spark, tmp_path, binlog_pdf):
     assert lake.read().filter(
         F.col(BUCKET_COL) != lake.bucket_expr(16, KEY_COLS)
     ).count() == 0
+
+
+def test_tailer_retries_commit_conflict_from_maintenance(
+    spark, tmp_path, binlog_pdf, monkeypatch
+):
+    """A maintenance commit racing a micro-batch surfaces as
+    CommitConflict inside foreachBatch; the tailer must recompute from
+    the fresh snapshot instead of failing the stream."""
+    from etl_bitcoin_spark.streaming import tailer as tailer_mod
+    from etl_bitcoin_spark.tableformat.lake import CommitConflict
+
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    real = tailer_mod.apply_batch
+    fails = {"left": 2}
+
+    def flaky(*a, **kw):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise CommitConflict("injected maintenance race")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tailer_mod, "apply_batch", flaky)
+    t = BinlogTailer(spark, wal, lake, str(tmp_path / "ckpt"),
+                     max_files_per_trigger=2)
+    results = t.run_available()
+    assert all(r["applied"] for r in results)
+    assert fails["left"] == 0
+    _check(lake, binlog_pdf)
