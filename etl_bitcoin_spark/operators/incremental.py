@@ -91,55 +91,77 @@ def refresh_conv_summaries(
     upstream: LakeTable,
     downstream: LakeTable,
     upto_version: int | None = None,
+    mode: str = "recompute",
 ) -> dict[str, Any]:
     """One relay tick: diff the upstream snapshot against the cursor,
-    recompute summaries for exactly the changed conversations, and
-    replace only the downstream buckets those conversations hash to.
-    Conversations whose last turn vanished upstream are dropped.
-    Idempotent per upstream-version span; returns the tick summary."""
+    refresh exactly the changed conversations, and replace only the
+    downstream buckets those conversations hash to. Conversations whose
+    last turn vanished upstream are dropped. Idempotent per
+    upstream-version span; returns the tick summary.
+
+    ``mode="recompute"`` rebuilds changed conversations from the
+    upstream state (one filtered column-pruned upstream scan per tick).
+    ``mode="algebraic"`` maintains the invertible aggregates (counts,
+    sums) purely from the PREIMAGE change feed — delta arithmetic, NO
+    upstream scan — and falls back to per-conversation recompute only
+    where a removed row may have held the non-invertible max
+    (``last_ts``): the sublinear path for the append-mostly norm, where
+    fallbacks are empty and a tick never touches upstream data at all."""
+    if mode not in ("recompute", "algebraic"):
+        raise ValueError(f"unknown refresh mode {mode!r}")
     up_v = upto_version or upstream.snapshot()["version"]
     last_v = _relay_cursor(downstream)
     if up_v <= last_v:
         return {"applied": False, "reason": "up to date", "cursor": last_v}
-    live = upstream.read(version=up_v, user_cols=True)
     snap_d = downstream.snapshot()
     n_buckets = snap_d["n_buckets"]
     bucket_of = downstream.bucket_expr(n_buckets, ["conv_id"])
-
-    changed: list | None = None
-    if last_v != 0:
-        # Materialize the changed-key set ONCE (it is one tick's churn,
-        # small by construction — the collect also caps how much work
-        # the joins below can fan out). The change feed would otherwise
-        # be recomputed by every consumer of the frame (bucket collect,
-        # semi join, anti join).
-        changed = [
-            (r["conv_id"], int(r["b"]))
-            for r in upstream.read_changes(last_v, up_v)
-            .select("conv_id")
-            .distinct()
-            .select("conv_id", bucket_of.alias("b"))
-            .collect()
-        ]
+    spark = upstream.spark
 
     stamp = (
         lambda df: df.withColumn(LSN_COL, F.lit(up_v).cast("long"))
         .withColumn(DELETED_COL, F.lit(False))
         .withColumn(BUCKET_COL, bucket_of)
     )
-    if changed is None:
+    n_fallback = 0
+    if last_v == 0:
         # bootstrap: full rebuild (first tick, or cursor lost to expiry)
         affected = list(range(n_buckets))
-        content = stamp(conv_summaries(live))
+        content = stamp(
+            conv_summaries(upstream.read(version=up_v, user_cols=True))
+        )
     else:
-        spark = upstream.spark
+        # Materialize the per-conversation tick deltas ONCE (one tick's
+        # churn, small by construction — the collect also caps how much
+        # work the joins below can fan out; the feed would otherwise be
+        # recomputed by every downstream consumer of the frame).
+        pre = F.col("_change_type").isin("update_preimage", "delete")
+        post = F.col("_change_type").isin("update_postimage", "insert")
+        sgn = F.when(post, 1).otherwise(-1)
+        chars = F.length(F.coalesce(F.col("text"), F.lit("")))
+        tool = F.col("tool").isNotNull().cast("int")
+        deltas = {
+            r["conv_id"]: r
+            for r in upstream.read_changes(
+                last_v, up_v, include_preimages=True
+            )
+            .groupBy("conv_id")
+            .agg(
+                F.sum(sgn).cast("int").alias("dn"),
+                F.sum(sgn * chars).cast("long").alias("dc"),
+                F.sum(sgn * tool).cast("int").alias("dt"),
+                F.max(F.when(post, F.col("ts"))).alias("amax"),
+                F.max(F.when(pre, F.col("ts"))).alias("rmax"),
+            )
+            .withColumn("b", bucket_of)
+            .collect()
+        }
+        affected = sorted({int(r["b"]) for r in deltas.values()})
         keys = F.broadcast(
             spark.createDataFrame(
-                [(c,) for c, _ in changed], "conv_id string"
+                [(c,) for c in deltas], "conv_id string"
             )
         )
-        summaries = conv_summaries(live.join(keys, "conv_id", "semi"))
-        affected = sorted({b for _, b in changed})
         # Kept rows keep their ORIGINAL __lsn/__deleted (raw read, no
         # restamp): restamping every co-bucketed row at up_v would make
         # the DOWNSTREAM's own change feed report phantom updates for
@@ -147,6 +169,57 @@ def refresh_conv_summaries(
         kept = downstream.read(
             version=snap_d["version"], buckets=affected
         ).join(keys, "conv_id", "anti")
+
+        if mode == "recompute":
+            live = upstream.read(version=up_v, user_cols=True)
+            summaries = conv_summaries(live.join(keys, "conv_id", "semi"))
+        else:
+            cur = {
+                r.conv_id: r
+                for r in downstream.read(
+                    version=snap_d["version"], buckets=affected,
+                    user_cols=True,
+                )
+                .join(keys, "conv_id", "semi")
+                .collect()
+            }
+            rows, fallback = [], []
+            for c, d in deltas.items():
+                old = cur.get(c)
+                n = (old.n_turns if old else 0) + d["dn"]
+                if n <= 0:
+                    continue  # conversation fully deleted
+                cur_last = old.last_ts if old else None
+                amax, rmax = d["amax"], d["rmax"]
+                if cur_last is None or (
+                    amax is not None and amax >= cur_last
+                ):
+                    last = amax  # a new row holds (or ties) the max
+                elif rmax is None or rmax < cur_last:
+                    last = cur_last  # the max row was not removed
+                else:
+                    # a removed row tied the current max and nothing
+                    # added reaches it: max may regress — recompute
+                    fallback.append(c)
+                    continue
+                rows.append((
+                    c, n,
+                    (old.n_tool_turns if old else 0) + d["dt"],
+                    last,
+                    (old.total_chars if old else 0) + d["dc"],
+                ))
+            summaries = spark.createDataFrame(rows, CONV_SUMMARY_DDL)
+            n_fallback = len(fallback)
+            if fallback:
+                fb = F.broadcast(
+                    spark.createDataFrame(
+                        [(c,) for c in fallback], "conv_id string"
+                    )
+                )
+                live = upstream.read(version=up_v, user_cols=True)
+                summaries = summaries.unionByName(
+                    conv_summaries(live.join(fb, "conv_id", "semi"))
+                )
         content = kept.unionByName(stamp(summaries))
 
     ok = downstream.commit(
@@ -156,7 +229,8 @@ def refresh_conv_summaries(
         affected,
         batch_id=f"relay-{last_v}-{up_v}",
         metrics={"relay_upstream_version": up_v,
-                 "relay_from_version": last_v},
+                 "relay_from_version": last_v,
+                 "relay_mode": mode},
         base_version=snap_d["version"],
     )
     return {
@@ -164,4 +238,5 @@ def refresh_conv_summaries(
         "cursor": up_v,
         "from": last_v,
         "buckets": len(affected),
+        "fallback_convs": n_fallback,
     }

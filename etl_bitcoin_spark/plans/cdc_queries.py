@@ -451,6 +451,37 @@ def q_cdc_incremental_projection(spark, sf_dir):
     )
 
 
+def q_cdc_incremental_projection_alg(spark, sf_dir):
+    """The ALGEBRAIC relay mode under the same oracle as
+    ``cdc_incremental_projection``: per-batch ticks maintain the
+    rollup by delta arithmetic over the preimage change feed (no
+    upstream scan except max-regression fallbacks) and must still
+    equal the from-scratch rollup of the full replay."""
+    from ..operators.incremental import (
+        create_conv_summary_table,
+        refresh_conv_summaries,
+    )
+
+    down = create_conv_summary_table(
+        spark, _gate_tmpdir("gate_ipad_"), n_buckets=8
+    )
+
+    def _tick(i, lake):
+        r = refresh_conv_summaries(lake, down, mode="algebraic")
+        assert r["applied"], r
+
+    _replay_lake_mow(spark, sf_dir, "gate_ipa_", on_batch=_tick)
+    return down.read(user_cols=True).select(
+        "conv_id",
+        "n_turns",
+        "n_tool_turns",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts_str"
+        ),
+        "total_chars",
+    )
+
+
 def q_cdc_windowed_op_counts(spark, sf_dir):
     """The streaming windowed-agg OPERATOR (streaming/stateful.py:
     windowed_op_counts — tumbling event-time windows + watermark) under
@@ -477,6 +508,7 @@ QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_change_feed_pre": q_cdc_change_feed_pre,
     "cdc_incremental_projection": q_cdc_incremental_projection,
+    "cdc_incremental_projection_alg": q_cdc_incremental_projection_alg,
     "cdc_windowed_op_counts": q_cdc_windowed_op_counts,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
@@ -633,3 +665,8 @@ SELECT CAST(lsn % 16 AS INT) AS bucket, count(*) AS n_events,
 FROM ({_BINLOG_SQL}) GROUP BY bucket
 """,
 }
+
+# the algebraic relay must satisfy the SAME oracle as the recompute one
+ORACLES["cdc_incremental_projection_alg"] = ORACLES[
+    "cdc_incremental_projection"
+]

@@ -191,3 +191,77 @@ def test_streaming_tail_with_live_relay(spark, tmp_path):
     tailer.run_available()
     assert sum(1 for t in ticks if t["applied"]) >= 2
     assert _down_state(down) == _full_recompute(up)
+
+
+def test_algebraic_mode_equals_recompute_and_oracle(spark, tmp_path):
+    """mode="algebraic" (delta arithmetic from the preimage feed, no
+    upstream scan except max-regression fallbacks) must converge to
+    exactly the full recompute under an adversarial stream: deletes
+    that remove the max-ts row, ts collisions, updates that lower ts,
+    full-conversation deletions."""
+    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog
+
+    pdf = generate_binlog(
+        BinlogSpec(seed=55, n_convs=15, max_turns=6, n_events=1200,
+                   delete_rate=0.25, ts_collision_rate=0.4)
+    )
+    ev_all = spark.createDataFrame(
+        pdf.drop(columns=["seg", "evolved"]), BINLOG_DDL
+    )
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    down = create_conv_summary_table(
+        spark, str(tmp_path / "down"), n_buckets=4
+    )
+    for i in range(6):
+        lo, hi = i * 200, i * 200 + 199
+        apply_batch(up, ev_all.filter(
+            (F.col("lsn") >= lo) & (F.col("lsn") <= hi)
+        ), f"b{i}", lsn_range_hint=(lo, hi))
+        r = refresh_conv_summaries(up, down, mode="algebraic")
+        assert r["applied"], r
+        # exact equality against full recompute after EVERY tick,
+        # last_ts included
+        got = {
+            x.conv_id: (x.n_turns, x.n_tool_turns, x.last_ts,
+                        x.total_chars)
+            for x in down.read(user_cols=True).collect()
+        }
+        want = {
+            x.conv_id: (x.n_turns, x.n_tool_turns, x.last_ts,
+                        x.total_chars)
+            for x in conv_summaries(up.read(user_cols=True)).collect()
+        }
+        assert got == want, f"tick {i} diverged"
+
+
+def test_algebraic_fallback_on_max_regression(spark, tmp_path):
+    """Deleting exactly the max-ts turn with nothing newer in the tick
+    forces the fallback recompute, and last_ts regresses correctly."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 2
+    )
+    down = create_conv_summary_table(
+        spark, str(tmp_path / "down"), n_buckets=2
+    )
+    # turn 2 holds the max ts (lsn 2 -> microsecond 9)
+    apply_batch(up, spark.createDataFrame(
+        [(0, "I", "cA", 0, "user", "a", None,
+          datetime(2024, 1, 1, 0, 0, 0, 1)),
+         (1, "I", "cA", 1, "user", "bb", None,
+          datetime(2024, 1, 1, 0, 0, 0, 5)),
+         (2, "I", "cA", 2, "user", "ccc", None,
+          datetime(2024, 1, 1, 0, 0, 0, 9))], BINLOG_DDL),
+        "b0", lsn_range_hint=(0, 2))
+    assert refresh_conv_summaries(up, down, mode="algebraic")["applied"]
+
+    apply_batch(up, spark.createDataFrame(
+        [(3, "D", "cA", 2, None, None, None,
+          datetime(2024, 1, 1, 0, 0, 0, 10))], BINLOG_DDL),
+        "b1", lsn_range_hint=(3, 3))
+    r = refresh_conv_summaries(up, down, mode="algebraic")
+    assert r["applied"] and r["fallback_convs"] == 1, r
+    row = down.read(user_cols=True).collect()[0]
+    assert (row.n_turns, row.total_chars) == (2, 3)
+    assert row.last_ts == datetime(2024, 1, 1, 0, 0, 0, 5)
