@@ -149,3 +149,30 @@ def test_rescale_fences_stale_layout_commits(spark, tmp_lake_dir):
     got = _user_state(lake)
     want = oracle_replay(pdf)
     assert list(got["text"]) == list(want["text"])
+
+
+def test_maintenance_ops_are_change_feed_invisible(spark, tmp_lake_dir):
+    """Rescale, delta compaction, and file bin-packing rewrite buckets
+    without changing state: the change feed across any of them must be
+    EMPTY — a downstream consumer never reprocesses a maintenance op."""
+    pdf, ev = _binlog(spark, seed=94, n=1200)
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    apply_batch(lake, ev.filter(F.col("lsn") < 800), "b0",
+                lsn_range_hint=(0, 799))
+    apply_batch(lake, ev.filter(F.col("lsn") >= 800), "b1",
+                lsn_range_hint=(800, 1199), merge_mode="read")
+    v0 = lake.snapshot()["version"]
+
+    assert lake.compact_deltas(max_deltas_per_bucket=0,
+                               batch_id="m-cd")["applied"]
+    v1 = lake.snapshot()["version"]
+    assert lake.read_changes(v0, v1).count() == 0
+
+    assert lake.rescale_buckets(16, "m-rs")["applied"]
+    v2 = lake.snapshot()["version"]
+    assert lake.read_changes(v1, v2).count() == 0
+    assert lake.read_changes(
+        v1, v2, include_preimages=True
+    ).count() == 0
+    # and across the whole maintenance window
+    assert lake.read_changes(v0).count() == 0
