@@ -175,6 +175,12 @@ def _resolve_union(
             F.max(F.when(evt, F.col(LSN_COL))).alias("hi"),
             F.sum(evt.cast("long")).alias("n_rows"),
             F.sum("__dupl").alias("n_dup"),
+            # events-per-key multiplicity sketch rides the same job —
+            # feeds the NEXT batch's sticky auto-strategy choice on
+            # paths with no pre-job (HLL ignores the stored-row nulls)
+            F.approx_count_distinct(
+                F.when(evt, F.concat_ws("\x1f", *keys))
+            ).alias("nk"),
         ).drop("__dupl")
     if has_evt:
         df = df.drop("__evt")
@@ -451,6 +457,8 @@ def apply_batch(
             n_rows = int(got["n_rows"] or 0)
             n = n_rows - int(got["n_dup"] or 0)
             out["events"] = n
+            nk = int(got["nk"] or 0)
+            out["multiplicity"] = (n / nk) if nk else 1.0
             if n == 0:
                 return None, None
             lo, hi = int(got["lo"]), int(got["hi"])
@@ -478,7 +486,10 @@ def apply_batch(
         # ("auto" resolves to window here: this fused path runs no
         # pre-job that a multiplicity signal could ride, and bulk drains
         # are the ~1 event/key shape the window strategy wins anyway.
-        # Callers replaying a known update storm pass "agg" explicitly.)
+        # Callers replaying a known update storm pass "agg" explicitly;
+        # the streaming tailer goes STICKY instead — the multiplicity
+        # sketch observed on THIS batch's merge job picks the NEXT
+        # batch's strategy, see BinlogTailer._apply.)
         # Single-job bulk-stream path (merge-on-write): every bucket is
         # touched, so there is no discovery to do — and the batch's lsn
         # stats ride the MERGE job itself (events tagged __evt inside
@@ -503,6 +514,8 @@ def apply_batch(
             n_rows = int(got["n_rows"] or 0)
             n = n_rows - int(got["n_dup"] or 0)
             out["events"] = n
+            nk = int(got["nk"] or 0)
+            out["multiplicity"] = (n / nk) if nk else 1.0
             if n == 0:
                 return None, None
             lo, hi = int(got["lo"]), int(got["hi"])
@@ -519,7 +532,10 @@ def apply_batch(
             base_version=snap["version"],
             lineage_fn=_lineage,
         )
-        return {"applied": ok, "buckets": affected, **out}
+        return {
+            "applied": ok, "buckets": affected,
+            "merge_strategy": "window", **out,
+        }
 
     cached = False
     try:

@@ -69,8 +69,13 @@ class BinlogTailer:
         self.compact_max_deltas = compact_max_deltas
         # "window" (default), "agg" (the update-storm strategy), or
         # "auto" (per-batch multiplicity signal riding the stats job);
-        # see operators.merge.merge_batch_agg for the crossover.
+        # see operators.merge.merge_batch_agg for the crossover. On the
+        # fused bulk path (assume_all_buckets, no pre-job to ride) auto
+        # goes STICKY: the previous batch's multiplicity — observed on
+        # the merge job itself — picks the next batch's strategy
+        # (workload shape is sticky across a stream's micro-batches).
         self.merge_strategy = merge_strategy
+        self._sticky_strategy = "window"
         self.bloom_path = os.path.join(checkpoint_dir, "lsn_bloom.state")
         self._bloom: LsnBloom | None = None
         self._bg = None  # lazy single-thread executor for async state IO
@@ -152,6 +157,9 @@ class BinlogTailer:
         # (the exactly-once guards are idempotent), so retry instead of
         # failing the stream — bounded, because back-to-back losses
         # mean a misconfigured second writer, which SHOULD surface.
+        strategy = self.merge_strategy
+        if strategy == "auto" and self.assume_all_buckets:
+            strategy = self._sticky_strategy
         for attempt in range(3):
             bloom = self._load_bloom()
             guard = ExactlyOnceFilter(self.lake.lineage(), bloom)
@@ -163,12 +171,19 @@ class BinlogTailer:
                     already_applied_filter=guard,
                     assume_all_buckets=self.assume_all_buckets,
                     merge_mode="read" if self.merge_on_read else "write",
-                    merge_strategy=self.merge_strategy,
+                    merge_strategy=strategy,
                 )
                 break
             except CommitConflict:
                 if attempt == 2:
                     raise
+        mult = res.get("multiplicity")
+        if self.merge_strategy == "auto" and mult is not None:
+            from ..operators.merge import AUTO_AGG_MULTIPLICITY
+
+            self._sticky_strategy = (
+                "agg" if mult >= AUTO_AGG_MULTIPLICITY else "window"
+            )
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])
         if (

@@ -743,6 +743,12 @@ class LakeTable:
                             p["delta_rows"] for p in gm.values()
                         ),
                         "n_buckets": len(gm),
+                        # group-level file-count ceiling: lets
+                        # compact_files victim discovery skip whole
+                        # groups without loading their gm nodes
+                        "max_files": max(
+                            p["n_files"] for p in gm.values()
+                        ),
                     }
                 else:
                     groups.pop(gid, None)
@@ -1211,7 +1217,10 @@ class LakeTable:
         AFTER the compaction commit rebase onto the packed file list."""
         m = self.snapshot()
         victims: list[int] = []
-        for gid in m["groups"]:
+        for gid, g in m["groups"].items():
+            mf = g.get("max_files")  # absent on pre-upgrade manifests
+            if mf is not None and mf <= max_files_per_bucket:
+                continue  # whole group under policy: gm never loaded
             for b, ptr in self._load_gm(m, gid).items():
                 if ptr["n_files"] > max_files_per_bucket and (
                     ptr["n_deltas"] == 0

@@ -645,3 +645,21 @@ def test_batch_marker_ledger_retention(spark, tmp_lake_dir):
     # recent batch still absorbed; inline list still covers "old-batch"
     assert not lake.commit(df2, [], "new-batch", None, mode="append")
     assert not lake.commit(df, [], "old-batch", None, mode="append")
+
+
+def test_group_pointer_carries_max_files(spark, tmp_lake_dir):
+    """Group pointers aggregate a max_files ceiling so compact_files
+    victim discovery can skip whole under-policy groups without loading
+    their gm nodes."""
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4)
+    for i in range(3):
+        rows = [(f"c{b}", b, "user", f"t{i}", None,
+                 "2024-01-01 00:00:00", i * 10 + b) for b in range(6)]
+        assert lake.commit(_with_bucket(lake, _mk(spark, rows)), [],
+                           f"a-{i}", None, mode="append")
+    m = lake.snapshot()
+    for gid, g in m["groups"].items():
+        want = max(p["n_files"] for p in lake._load_gm(m, gid).values())
+        assert g["max_files"] == want
+    # under-policy: no victims, and (with max_files present) no gm loads
+    assert not lake.compact_files(max_files_per_bucket=8)["applied"]

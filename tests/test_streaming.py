@@ -372,3 +372,32 @@ def test_tailer_retries_commit_conflict_from_maintenance(
     assert all(r["applied"] for r in results)
     assert fails["left"] == 0
     _check(lake, binlog_pdf)
+
+
+def test_bulk_auto_strategy_goes_sticky_on_storms(spark, tmp_path):
+    """Fused bulk path + merge_strategy="auto": the first batch runs
+    window (no signal yet), the multiplicity observed ON the merge job
+    flips subsequent batches to the update-storm agg formulation, and
+    the converged state still equals the oracle."""
+    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, oracle_replay, write_segments
+
+    pdf = generate_binlog(
+        BinlogSpec(seed=61, n_convs=10, max_turns=5, n_events=2000,
+                   n_segments=4, hot_share=0.95, n_hot=1,
+                   delete_rate=0.05)
+    )
+    wal = str(tmp_path / "wal")
+    write_segments(pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    t = BinlogTailer(spark, wal, lake, str(tmp_path / "ckpt"),
+                     max_files_per_trigger=1, assume_all_buckets=True,
+                     merge_strategy="auto")
+    results = t.run_available()
+    strategies = [r.get("merge_strategy") for r in results]
+    assert strategies[0] == "window"
+    assert all(s == "agg" for s in strategies[1:]), strategies
+    assert all(r.get("multiplicity", 0) > 4 for r in results
+               if "multiplicity" in r)
+    _check(lake, pdf)
