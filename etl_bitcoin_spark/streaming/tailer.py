@@ -70,12 +70,14 @@ class BinlogTailer:
         # "window" (default), "agg" (the update-storm strategy), or
         # "auto" (per-batch multiplicity signal riding the stats job);
         # see operators.merge.merge_batch_agg for the crossover. On the
-        # fused bulk path (assume_all_buckets, no pre-job to ride) auto
-        # goes STICKY: the previous batch's multiplicity — observed on
-        # the merge job itself — picks the next batch's strategy
-        # (workload shape is sticky across a stream's micro-batches).
+        # fused bulk path (assume_all_buckets) auto stays window: a
+        # sticky agg switch was SPIKED and measured SLOWER end-to-end
+        # (storm WAL, 2M events/8 segs: window 8.34s vs sticky-agg
+        # 10.45s best-of-3) — agg forfeits the single-job fusion (stats
+        # job + cache per batch) and that costs more than its 1.9x
+        # merge win buys. The multiplicity telemetry still rides the
+        # merge job (apply_batch result / commit metrics).
         self.merge_strategy = merge_strategy
-        self._sticky_strategy = "window"
         self.bloom_path = os.path.join(checkpoint_dir, "lsn_bloom.state")
         self._bloom: LsnBloom | None = None
         self._bg = None  # lazy single-thread executor for async state IO
@@ -157,9 +159,6 @@ class BinlogTailer:
         # (the exactly-once guards are idempotent), so retry instead of
         # failing the stream — bounded, because back-to-back losses
         # mean a misconfigured second writer, which SHOULD surface.
-        strategy = self.merge_strategy
-        if strategy == "auto" and self.assume_all_buckets:
-            strategy = self._sticky_strategy
         for attempt in range(3):
             bloom = self._load_bloom()
             guard = ExactlyOnceFilter(self.lake.lineage(), bloom)
@@ -171,19 +170,12 @@ class BinlogTailer:
                     already_applied_filter=guard,
                     assume_all_buckets=self.assume_all_buckets,
                     merge_mode="read" if self.merge_on_read else "write",
-                    merge_strategy=strategy,
+                    merge_strategy=self.merge_strategy,
                 )
                 break
             except CommitConflict:
                 if attempt == 2:
                     raise
-        mult = res.get("multiplicity")
-        if self.merge_strategy == "auto" and mult is not None:
-            from ..operators.merge import AUTO_AGG_MULTIPLICITY
-
-            self._sticky_strategy = (
-                "agg" if mult >= AUTO_AGG_MULTIPLICITY else "window"
-            )
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])
         if (

@@ -374,11 +374,11 @@ def test_tailer_retries_commit_conflict_from_maintenance(
     _check(lake, binlog_pdf)
 
 
-def test_bulk_auto_strategy_goes_sticky_on_storms(spark, tmp_path):
-    """Fused bulk path + merge_strategy="auto": the first batch runs
-    window (no signal yet), the multiplicity observed ON the merge job
-    flips subsequent batches to the update-storm agg formulation, and
-    the converged state still equals the oracle."""
+def test_bulk_auto_strategy_stays_window_with_telemetry(spark, tmp_path):
+    """Fused bulk path + merge_strategy="auto": every batch runs the
+    single-job window formulation (a sticky agg switch was measured
+    SLOWER end-to-end — see tailer.py), the multiplicity telemetry
+    rides the merge job, and the state equals the oracle."""
     from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, oracle_replay, write_segments
 
     pdf = generate_binlog(
@@ -396,8 +396,7 @@ def test_bulk_auto_strategy_goes_sticky_on_storms(spark, tmp_path):
                      merge_strategy="auto")
     results = t.run_available()
     strategies = [r.get("merge_strategy") for r in results]
-    assert strategies[0] == "window"
-    assert all(s == "agg" for s in strategies[1:]), strategies
-    assert all(r.get("multiplicity", 0) > 4 for r in results
-               if "multiplicity" in r)
+    assert strategies == ["window"] * len(results), strategies
+    mults = [r["multiplicity"] for r in results]
+    assert all(m > 4 for m in mults), mults  # storm telemetry visible
     _check(lake, pdf)
