@@ -482,6 +482,41 @@ def q_cdc_incremental_projection_alg(spark, sf_dir):
     )
 
 
+def q_cdc_incremental_view_roles(spark, sf_dir):
+    """The DECLARATIVE view engine (operators/views) under an oracle
+    gate, on a view whose key (role) is a MUTABLE column — updates move
+    rows between groups. Algebraic per-batch ticks must equal the
+    from-scratch rollup of the full replay."""
+    from ..operators.views import ViewSpec, create_view_table, refresh_view
+
+    spec = ViewSpec(
+        "role_stats",
+        "role string",
+        {
+            "n_turns": ("count", "long"),
+            "total_chars": ("sum", "length(coalesce(text, ''))", "long"),
+            "last_ts": ("max", "ts", "timestamp"),
+        },
+    )
+    down = create_view_table(
+        spark, _gate_tmpdir("gate_ivr_"), spec, n_buckets=4
+    )
+
+    def _tick(i, lake):
+        r = refresh_view(lake, down, spec, mode="algebraic")
+        assert r["applied"], r
+
+    _replay_lake_mow(spark, sf_dir, "gate_ivrl_", on_batch=_tick)
+    return down.read(user_cols=True).select(
+        "role",
+        "n_turns",
+        "total_chars",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts_str"
+        ),
+    )
+
+
 def q_cdc_windowed_op_counts(spark, sf_dir):
     """The streaming windowed-agg OPERATOR (streaming/stateful.py:
     windowed_op_counts — tumbling event-time windows + watermark) under
@@ -509,6 +544,7 @@ QUERIES = {
     "cdc_change_feed_pre": q_cdc_change_feed_pre,
     "cdc_incremental_projection": q_cdc_incremental_projection,
     "cdc_incremental_projection_alg": q_cdc_incremental_projection_alg,
+    "cdc_incremental_view_roles": q_cdc_incremental_view_roles,
     "cdc_windowed_op_counts": q_cdc_windowed_op_counts,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
@@ -670,3 +706,11 @@ FROM ({_BINLOG_SQL}) GROUP BY bucket
 ORACLES["cdc_incremental_projection_alg"] = ORACLES[
     "cdc_incremental_projection"
 ]
+
+ORACLES["cdc_incremental_view_roles"] = f"""
+WITH winners AS ({_LWW_SQL})
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       max(ts_str) AS last_ts_str
+FROM winners GROUP BY role
+"""
