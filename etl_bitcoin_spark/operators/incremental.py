@@ -51,6 +51,7 @@ CONV_SUMMARY_SPEC = ViewSpec(
         "last_ts": ("max", "ts", "timestamp"),
         "total_chars": ("sum", "length(coalesce(text, ''))", "long"),
     },
+    key_is_upstream_key=True,
 )
 
 CONV_SUMMARY_DDL = CONV_SUMMARY_SPEC.ddl

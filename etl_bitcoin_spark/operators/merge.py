@@ -176,8 +176,9 @@ def _resolve_union(
             F.sum(evt.cast("long")).alias("n_rows"),
             F.sum("__dupl").alias("n_dup"),
             # events-per-key multiplicity sketch rides the same job —
-            # feeds the NEXT batch's sticky auto-strategy choice on
-            # paths with no pre-job (HLL ignores the stored-row nulls)
+            # pure telemetry (apply_batch results / commit metrics; a
+            # sticky strategy switch fed by it was spiked and measured
+            # slower end-to-end, see streaming/tailer.py)
             F.approx_count_distinct(
                 F.when(evt, F.concat_ws("\x1f", *keys))
             ).alias("nk"),
@@ -486,10 +487,10 @@ def apply_batch(
         # ("auto" resolves to window here: this fused path runs no
         # pre-job that a multiplicity signal could ride, and bulk drains
         # are the ~1 event/key shape the window strategy wins anyway.
-        # Callers replaying a known update storm pass "agg" explicitly;
-        # the streaming tailer goes STICKY instead — the multiplicity
-        # sketch observed on THIS batch's merge job picks the NEXT
-        # batch's strategy, see BinlogTailer._apply.)
+        # Callers replaying a known update storm pass "agg" explicitly
+        # — a sticky switch fed by the ridden multiplicity sketch was
+        # spiked and measured SLOWER end-to-end, see the numbers in
+        # streaming/tailer.py and ROADMAP #10.)
         # Single-job bulk-stream path (merge-on-write): every bucket is
         # touched, so there is no discovery to do — and the batch's lsn
         # stats ride the MERGE job itself (events tagged __evt inside

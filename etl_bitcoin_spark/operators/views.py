@@ -9,17 +9,25 @@ aggregates); the engine derives both the full-recompute plan and the
 incremental-maintenance plan from that one definition, so the two can
 never drift.
 
-Aggregate kinds:
+Aggregate kinds (``out_type`` is the stored Spark type):
 
-- ``("count",)``          — row count (required: it doubles as the
-                            liveness signal; a group reaching 0 rows is
-                            dropped from the view)
-- ``("sum", expr_sql)``   — sum of a row-level SQL expression; fully
-                            invertible (pre-images subtract)
-- ``("max", expr_sql)``   — max of an expression; NOT invertible: a
-                            tick that removes a row possibly holding
-                            the max falls back to recomputing just that
-                            group from upstream
+- ``("count", out_type)``           — row count (required: it doubles
+                                      as the liveness signal; a group
+                                      reaching 0 rows is dropped)
+- ``("sum", expr_sql, out_type)``   — sum of a row-level SQL
+                                      expression; fully invertible
+                                      (pre-images subtract). Declare
+                                      TOTAL expressions (coalesce away
+                                      nulls): if every contributing row
+                                      of a group is later removed, the
+                                      algebraic sum lands at 0 where a
+                                      full recompute of the surviving
+                                      all-null rows would store NULL.
+- ``("max", expr_sql, out_type)``   — max of an expression; NOT
+                                      invertible: a tick that removes a
+                                      row possibly holding the max
+                                      falls back to recomputing just
+                                      that group from upstream
 
 Key-changing updates are handled for free: the preimage row decrements
 its OLD group, the postimage increments the NEW one — grouping the feed
@@ -53,6 +61,10 @@ class ViewSpec:
     name: str
     key_ddl: str
     aggs: dict[str, tuple] = field(hash=False)
+    # True iff the view key is a subset of the upstream PRIMARY key
+    # (immutable per row): lets mode="recompute" read the cheap plain
+    # change feed — mutable keys need preimages to find the OLD group.
+    key_is_upstream_key: bool = False
 
     @property
     def key(self) -> list[str]:
@@ -69,12 +81,18 @@ class ViewSpec:
         kinds = [s[0] for s in self.aggs.values()]
         if kinds.count("count") != 1:
             raise ValueError(
-                f"view {self.name}: exactly one ('count',) aggregate is "
-                "required (it is the group-liveness signal)"
+                f"view {self.name}: exactly one ('count', type) aggregate"
+                " is required (it is the group-liveness signal)"
             )
         for name, s in self.aggs.items():
             if s[0] not in ("count", "sum", "max"):
                 raise ValueError(f"view {self.name}: unknown agg {s[0]!r}")
+            want = 2 if s[0] == "count" else 3
+            if len(s) != want:
+                raise ValueError(
+                    f"view {self.name}: {name} must be "
+                    f"({'kind, out_type' if want == 2 else 'kind, expr_sql, out_type'})"
+                )
 
     @property
     def count_col(self) -> str:
@@ -95,13 +113,29 @@ def full_compute(spec: ViewSpec, rows: DataFrame) -> DataFrame:
     for name, s in spec.aggs.items():
         kind, out_type = s[0], s[-1]
         if kind == "count":
-            col = F.count("*")
+            col = F.count("*").cast(out_type)
         elif kind == "sum":
-            col = F.sum(F.expr(s[1]))
+            col = F.sum(F.expr(s[1])).cast(out_type)
         else:
-            col = F.max(F.expr(s[1]))
-        aggs.append(col.cast(out_type).alias(name))
+            # cast INSIDE the max so stored values and the algebraic
+            # path's amax/rmax candidates compare in the same domain
+            col = F.max(F.expr(s[1]).cast(out_type))
+        aggs.append(col.alias(name))
     return rows.groupBy(*spec.key).agg(*aggs)
+
+
+def _key_join(left: DataFrame, keys_df, key: list[str], how: str):
+    """Null-safe anti/semi join on the view key: a NULL-keyed group is
+    a legitimate group (the key can be any nullable column), and plain
+    name joins would never match NULL = NULL."""
+    from functools import reduce
+
+    r = keys_df.select(*[F.col(k).alias(f"__k_{k}") for k in key])
+    cond = reduce(
+        lambda a, b: a & b,
+        [left[k].eqNullSafe(r[f"__k_{k}"]) for k in key],
+    )
+    return left.join(F.broadcast(r), cond, how)
 
 
 def refresh_view(
@@ -145,74 +179,106 @@ def refresh_view(
             )
         )
     else:
-        pre = F.col("_change_type").isin("update_preimage", "delete")
-        post = F.col("_change_type").isin("update_postimage", "insert")
-        sgn = F.when(post, 1).otherwise(-1)
-        delta_aggs, max_names = [], []
-        for name, s in spec.aggs.items():
-            kind = s[0]
-            if kind == "count":
-                delta_aggs.append(
-                    F.sum(sgn).cast(s[-1]).alias(f"d_{name}")
-                )
-            elif kind == "sum":
-                delta_aggs.append(
-                    F.sum(sgn * F.expr(s[1])).cast(s[-1]).alias(f"d_{name}")
-                )
-            else:
-                max_names.append(name)
-                delta_aggs.append(
-                    F.max(F.when(post, F.expr(s[1]))).alias(f"amax_{name}")
-                )
-                delta_aggs.append(
-                    F.max(F.when(pre, F.expr(s[1]))).alias(f"rmax_{name}")
-                )
-        deltas = {
-            tuple(r[k] for k in key): r
-            for r in upstream.read_changes(
-                last_v, up_v, include_preimages=True
+        if mode == "recompute":
+            # recompute only needs the changed KEY SET. Immutable keys
+            # (subset of the upstream primary key) come off the cheap
+            # plain feed; mutable keys need preimages so the OLD group
+            # of a key-changing update is refreshed too.
+            feed = upstream.read_changes(
+                last_v, up_v,
+                include_preimages=not spec.key_is_upstream_key,
             )
-            .groupBy(*key)
-            .agg(*delta_aggs)
-            .withColumn("b", bucket_of)
-            .collect()
-        }
+            deltas = {
+                tuple(r[k] for k in key): r
+                for r in feed.select(*key).distinct()
+                .withColumn("b", bucket_of)
+                .collect()
+            }
+        else:
+            pre = F.col("_change_type").isin("update_preimage", "delete")
+            post = F.col("_change_type").isin("update_postimage", "insert")
+            sgn = F.when(post, 1).otherwise(-1)
+            delta_aggs = []
+            for name, s in spec.aggs.items():
+                kind, out_type = s[0], s[-1]
+                if kind == "count":
+                    delta_aggs.append(
+                        F.sum(sgn).cast(out_type).alias(f"d_{name}")
+                    )
+                elif kind == "sum":
+                    delta_aggs.append(
+                        F.sum(sgn * F.expr(s[1])).cast(out_type)
+                        .alias(f"d_{name}")
+                    )
+                else:
+                    cast = F.expr(s[1]).cast(out_type)
+                    delta_aggs.append(
+                        F.max(F.when(post, cast)).alias(f"amax_{name}")
+                    )
+                    delta_aggs.append(
+                        F.max(F.when(pre, cast)).alias(f"rmax_{name}")
+                    )
+            deltas = {
+                tuple(r[k] for k in key): r
+                for r in upstream.read_changes(
+                    last_v, up_v, include_preimages=True
+                )
+                .groupBy(*key)
+                .agg(*delta_aggs)
+                .withColumn("b", bucket_of)
+                .collect()
+            }
         affected = sorted({int(r["b"]) for r in deltas.values()})
-        keys = F.broadcast(
-            spark.createDataFrame(list(deltas) or [], spec.key_ddl)
+        keys = spark.createDataFrame(list(deltas), spec.key_ddl)
+        kept = _key_join(
+            downstream.read(version=snap_d["version"], buckets=affected),
+            keys, key, "left_anti",
         )
-        kept = downstream.read(
-            version=snap_d["version"], buckets=affected
-        ).join(keys, key, "anti")
 
         if mode == "recompute":
             live = upstream.read(version=up_v, user_cols=True)
-            summaries = full_compute(spec, live.join(keys, key, "semi"))
+            summaries = full_compute(
+                spec, _key_join(live, keys, key, "left_semi")
+            )
         else:
             cur = {
                 tuple(getattr(r, k) for k in key): r
-                for r in downstream.read(
-                    version=snap_d["version"], buckets=affected,
-                    user_cols=True,
-                )
-                .join(keys, key, "semi")
-                .collect()
+                for r in _key_join(
+                    downstream.read(
+                        version=snap_d["version"], buckets=affected,
+                        user_cols=True,
+                    ),
+                    keys, key, "left_semi",
+                ).collect()
             }
+
+            def _combine(old_v, delta):
+                # SQL sum null semantics: null means "no non-null rows
+                # contributed"; a null delta leaves the value alone, a
+                # null old value starts from the delta
+                if old_v is None and delta is None:
+                    return None
+                return (old_v or 0) + (delta or 0)
+
             rows, fallback = [], []
             cnt = spec.count_col
             for kt, d in deltas.items():
                 old = cur.get(kt)
                 vals = {}
-                n = (getattr(old, cnt) if old else 0) + d[f"d_{cnt}"]
+                n = (getattr(old, cnt) if old else 0) + (
+                    d[f"d_{cnt}"] or 0
+                )
                 if n <= 0:
                     continue  # group fully gone
                 ambiguous = False
                 for name, s in spec.aggs.items():
                     if s[0] in ("count", "sum"):
-                        vals[name] = (
-                            (getattr(old, name) if old else 0)
-                            + d[f"d_{name}"]
+                        vals[name] = _combine(
+                            getattr(old, name) if old else None,
+                            d[f"d_{name}"],
                         )
+                        if s[0] == "count" and vals[name] is None:
+                            vals[name] = 0
                     else:
                         cur_m = getattr(old, name) if old else None
                         amax = d[f"amax_{name}"]
@@ -235,12 +301,12 @@ def refresh_view(
             summaries = spark.createDataFrame(rows, spec.ddl)
             n_fallback = len(fallback)
             if fallback:
-                fb = F.broadcast(
-                    spark.createDataFrame(fallback, spec.key_ddl)
-                )
+                fb = spark.createDataFrame(fallback, spec.key_ddl)
                 live = upstream.read(version=up_v, user_cols=True)
                 summaries = summaries.unionByName(
-                    full_compute(spec, live.join(fb, key, "semi"))
+                    full_compute(
+                        spec, _key_join(live, fb, key, "left_semi")
+                    )
                 )
         content = kept.unionByName(stamp(summaries))
 

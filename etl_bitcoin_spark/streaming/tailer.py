@@ -186,11 +186,16 @@ class BinlogTailer:
             # Metadata-only victim discovery (group pointers carry delta
             # counts); a no-victim check costs O(#groups). The occasional
             # compaction batch pays the bucket rewrite for the whole
-            # window — idempotent batch id, crash-replay safe.
-            c = self.lake.compact_deltas(
-                self.compact_max_deltas,
-                batch_id=f"compact-{self.ns}-{batch_id}",
-            )
+            # window — idempotent batch id, crash-replay safe. A lost
+            # maintenance race here is NOT worth failing the stream:
+            # compaction is a policy action, the next batch retries it.
+            try:
+                c = self.lake.compact_deltas(
+                    self.compact_max_deltas,
+                    batch_id=f"compact-{self.ns}-{batch_id}",
+                )
+            except CommitConflict:
+                c = {"applied": False}
             if c["applied"]:
                 res = dict(res, compacted_buckets=c["buckets_compacted"])
         self.batch_results.append(res)

@@ -380,22 +380,12 @@ class LakeCatalog:
             )
         # the catalog's own batch ledger has the same unbounded-growth
         # shape as a table's — same retention contract applies
-        markers = 0
-        if batch_marker_retention_sec is not None:
-            cutoff = time.time() - batch_marker_retention_sec
-            ledger = os.path.join(self.catalog_dir, "batches")
-            for shard in os.listdir(ledger):
-                sd = os.path.join(ledger, shard)
-                if not os.path.isdir(sd):
-                    continue
-                for fn in os.listdir(sd):
-                    p = os.path.join(sd, fn)
-                    try:
-                        if os.path.getmtime(p) < cutoff:
-                            os.remove(p)
-                            markers += 1
-                    except FileNotFoundError:
-                        pass
+        from .lake import prune_marker_ledger
+
+        markers = prune_marker_ledger(
+            os.path.join(self.catalog_dir, "batches"),
+            batch_marker_retention_sec,
+        )
         return {
             "catalog_snapshots_removed": removed,
             "tables": table_stats,

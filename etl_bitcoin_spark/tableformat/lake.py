@@ -1134,24 +1134,9 @@ class LakeTable:
         }
 
     def _prune_batch_markers(self, retention_sec: float | None) -> int:
-        if retention_sec is None:
-            return 0
-        cutoff = time.time() - retention_sec
-        removed = 0
-        ledger = os.path.join(self.manifest_dir, "batches")
-        for shard in os.listdir(ledger):
-            sd = os.path.join(ledger, shard)
-            if not os.path.isdir(sd):
-                continue
-            for fn in os.listdir(sd):
-                p = os.path.join(sd, fn)
-                try:
-                    if os.path.getmtime(p) < cutoff:
-                        os.remove(p)
-                        removed += 1
-                except FileNotFoundError:
-                    pass
-        return removed
+        return prune_marker_ledger(
+            os.path.join(self.manifest_dir, "batches"), retention_sec
+        )
 
     def compact_deltas(
         self,
@@ -1317,6 +1302,29 @@ class LakeTable:
 
     def lineage(self) -> dict[str, Any]:
         return self.snapshot()["lineage"]
+
+
+def prune_marker_ledger(ledger: str, retention_sec: float | None) -> int:
+    """Prune batch-ledger marker files older than the retention (table
+    and catalog ledgers share this). A missing ledger dir is an empty
+    ledger, not an error."""
+    if retention_sec is None or not os.path.isdir(ledger):
+        return 0
+    cutoff = time.time() - retention_sec
+    removed = 0
+    for shard in os.listdir(ledger):
+        sd = os.path.join(ledger, shard)
+        if not os.path.isdir(sd):
+            continue
+        for fn in os.listdir(sd):
+            p = os.path.join(sd, fn)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    removed += 1
+            except FileNotFoundError:
+                pass
+    return removed
 
 
 def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:

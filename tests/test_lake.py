@@ -663,3 +663,15 @@ def test_group_pointer_carries_max_files(spark, tmp_lake_dir):
         assert g["max_files"] == want
     # under-policy: no victims, and (with max_files present) no gm loads
     assert not lake.compact_files(max_files_per_bucket=8)["applied"]
+
+
+def test_marker_prune_tolerates_missing_ledger_dir(spark, tmp_lake_dir):
+    """expire_snapshots(batch_marker_retention_sec=...) on a table whose
+    batches ledger dir is absent (older layout / restore that dropped
+    empty dirs) must treat it as an empty ledger, not crash."""
+    import shutil
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    shutil.rmtree(f"{tmp_lake_dir}/_manifests/batches")
+    res = lake.expire_snapshots(keep_last=5, batch_marker_retention_sec=1)
+    assert res["batch_markers_removed"] == 0

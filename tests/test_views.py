@@ -153,3 +153,39 @@ def test_multi_column_key_view(spark, tmp_path):
         for x in full_compute(spec, up.read(user_cols=True)).collect()
     }
     assert got == want
+
+
+def test_null_keyed_group_refreshes_without_duplication(spark, tmp_path):
+    """A NULL view-key value is a legitimate group: the null-safe key
+    joins must evict and refresh it (a plain name join never matches
+    NULL = NULL, leaving a stale duplicate row behind)."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 2
+    )
+    down = create_view_table(
+        spark, str(tmp_path / "roles"), ROLE_SPEC, n_buckets=2
+    )
+    apply_batch(up, _ev(spark, [
+        (0, "I", "c0", 0, None, "nullrole"),   # NULL-role group
+        (1, "I", "c0", 1, "user", "aa"),
+    ]), "b0", lsn_range_hint=(0, 1))
+    assert refresh_view(up, down, ROLE_SPEC)["applied"]
+    assert _state(down) == _full(ROLE_SPEC, up)
+
+    # touch the NULL group: must refresh in place, not duplicate
+    apply_batch(up, _ev(spark, [
+        (10, "U", "c0", 0, None, "nullrole-v2"),
+    ]), "b1", lsn_range_hint=(10, 10))
+    assert refresh_view(up, down, ROLE_SPEC)["applied"]
+    rows = down.read(user_cols=True).filter(F.col("role").isNull()).collect()
+    assert len(rows) == 1, rows
+    assert rows[0].total_chars == len("nullrole-v2")
+    assert _state(down) == _full(ROLE_SPEC, up)
+
+    # recompute mode handles the NULL group too (mutable-key views use
+    # the preimage feed for keys)
+    apply_batch(up, _ev(spark, [
+        (20, "U", "c0", 0, None, "v3"),
+    ]), "b2", lsn_range_hint=(20, 20))
+    assert refresh_view(up, down, ROLE_SPEC, mode="recompute")["applied"]
+    assert _state(down) == _full(ROLE_SPEC, up)
