@@ -118,6 +118,28 @@ def _load_json_cached(path: str) -> dict:
     return obj
 
 
+def ddl_col_names(ddl: str) -> list[str]:
+    """Column names from a DDL column list, splitting on TOP-LEVEL
+    commas only: types like ``decimal(10,2)`` or ``map<string,int>``
+    contain commas and spaces that a naive ``split(',')`` would turn
+    into bogus column names."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    return [p.strip().split(" ", 1)[0].strip() for p in parts]
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -917,7 +939,7 @@ class LakeTable:
                 .drop("__rn")
             )
 
-        user_cols = [f.split(" ")[0] for f in m_new["schema_ddl"].split(", ")]
+        user_cols = ddl_col_names(m_new["schema_ddl"])
         old = _one_per_key(
             self.read(version=m_old["version"], buckets=changed)
         ).select(

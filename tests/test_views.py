@@ -112,8 +112,28 @@ def test_view_spec_validation(spark):
         ViewSpec("x", "role string", {"s": ("sum", "1", "long")}).validate()
     with pytest.raises(ValueError, match="unknown agg"):
         ViewSpec("x", "role string", {
-            "n": ("count", "long"), "a": ("avg", "ts", "double"),
+            "n": ("count", "long"), "a": ("median", "ts", "double"),
         }).validate()
+    with pytest.raises(ValueError, match="reserved"):
+        ViewSpec("x", "role string", {
+            "n": ("count", "long"), "__s": ("sum", "1", "long"),
+        }).validate()
+    with pytest.raises(ValueError, match="malformed key_ddl"):
+        ViewSpec("x", "map<string,int> m", {
+            "n": ("count", "long"),
+        }).validate()
+    # comma-bearing types parse to correct names, not bogus splits
+    assert ViewSpec(
+        "x", "a decimal(10,2), b map<string,int>",
+        {"n": ("count", "long")},
+    ).key == ["a", "b"]
+    # avg is legal and expands to hidden invertible companions
+    s = ViewSpec("x", "role string", {
+        "n": ("count", "long"), "a": ("avg", "length(text)", "double"),
+    })
+    s.validate()
+    assert s.hidden_cols == ["__a_sum", "__a_cnt"]
+    assert "__a_sum double" in s.ddl and "__a_cnt long" in s.ddl
 
 
 def test_multi_column_key_view(spark, tmp_path):
@@ -189,3 +209,176 @@ def test_null_keyed_group_refreshes_without_duplication(spark, tmp_path):
     ]), "b2", lsn_range_hint=(20, 20))
     assert refresh_view(up, down, ROLE_SPEC, mode="recompute")["applied"]
     assert _state(down) == _full(ROLE_SPEC, up)
+
+
+MINAVG_SPEC = ViewSpec(
+    "role_minavg",
+    "role string",
+    {
+        "n_turns": ("count", "long"),
+        "first_ts": ("min", "ts", "timestamp"),
+        "avg_chars": ("avg", "length(text)", "double"),
+    },
+)
+
+
+def _minavg_state(table):
+    return {
+        r.role: (r.n_turns, r.first_ts, r.avg_chars)
+        for r in table.read(user_cols=True)
+        .select("role", "n_turns", "first_ts", "avg_chars")
+        .collect()
+    }
+
+
+def _minavg_full(up):
+    return {
+        r.role: (r.n_turns, r.first_ts, r.avg_chars)
+        for r in full_compute(MINAVG_SPEC, up.read(user_cols=True))
+        .select("role", "n_turns", "first_ts", "avg_chars")
+        .collect()
+    }
+
+
+def test_min_avg_view_maintenance(spark, tmp_path):
+    """min is max's mirror (regression fallback fires on removing a
+    group's minimum); avg maintains invertibly through hidden sum/cnt
+    companions and must honor SQL null semantics (null expr rows are
+    excluded from the average, all-null groups average to NULL)."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    down = create_view_table(
+        spark, str(tmp_path / "ma"), MINAVG_SPEC, n_buckets=2
+    )
+    apply_batch(up, _ev(spark, [
+        (0, "I", "c0", 0, "user", "aa"),        # len 2
+        (1, "I", "c0", 1, "user", "bbbb"),      # len 4 -> avg 3.0
+        (2, "I", "c1", 0, "assistant", None),   # null text: avg NULL
+        (3, "I", "c1", 1, "system", "dddd"),
+    ]), "b0", lsn_range_hint=(0, 3))
+    assert refresh_view(up, down, MINAVG_SPEC)["applied"]
+    st = _minavg_state(down)
+    assert st == _minavg_full(up)
+    assert st["user"][2] == 3.0
+    assert st["assistant"][2] is None  # avg over only-null rows
+
+    # new row EXTENDS user's average — pure delta arithmetic, and the
+    # new ts is LATER than user's min so min cannot regress
+    apply_batch(up, _ev(spark, [
+        (10, "I", "c2", 0, "user", "cccccc"),        # len 6 -> avg 4.0
+    ]), "b1", lsn_range_hint=(10, 10))
+    r = refresh_view(up, down, MINAVG_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 0, r
+    st = _minavg_state(down)
+    assert st == _minavg_full(up)
+    assert st["user"][2] == 4.0
+
+    # update assistant's only row: its preimage held the group MIN, so
+    # min may regress -> that one group falls back; avg NULL -> 8.0
+    apply_batch(up, _ev(spark, [
+        (11, "U", "c1", 0, "assistant", "eeeeeeee"), # len 8 -> avg 8.0
+    ]), "b1b", lsn_range_hint=(11, 11))
+    r = refresh_view(up, down, MINAVG_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 1, r
+    st = _minavg_state(down)
+    assert st == _minavg_full(up)
+    assert st["assistant"][2] == 8.0
+
+    # delete the row holding user's MIN ts (lsn 0) -> min may regress
+    # upward -> fallback recompute for that one group
+    apply_batch(up, _ev(spark, [
+        (20, "D", "c0", 0, None, None),
+    ]), "b2", lsn_range_hint=(20, 20))
+    r = refresh_view(up, down, MINAVG_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 1, r
+    assert _minavg_state(down) == _minavg_full(up)
+
+    # delete a NON-min row: min cannot regress, no fallback; avg
+    # shrinks by delta arithmetic
+    apply_batch(up, _ev(spark, [
+        (30, "D", "c2", 0, None, None),
+    ]), "b3", lsn_range_hint=(30, 30))
+    r = refresh_view(up, down, MINAVG_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 0, r
+    assert _minavg_state(down) == _minavg_full(up)
+
+    # recompute mode agrees on the same spec (shared full_compute)
+    apply_batch(up, _ev(spark, [
+        (40, "I", "c3", 0, "user", "zzz"),
+    ]), "b4", lsn_range_hint=(40, 40))
+    assert refresh_view(up, down, MINAVG_SPEC, mode="recompute")["applied"]
+    assert _minavg_state(down) == _minavg_full(up)
+
+
+def test_large_tick_never_collects_group_rows(spark, tmp_path, monkeypatch):
+    """SCALE GUARD (round-3 verdict #1): a tick touching 10^5 groups
+    must never materialize group rows on the driver — the only
+    permitted collects are bucket-id lists (bounded by n_buckets) and
+    scalar counts. DataFrame.collect is instrumented to fail on any
+    oversized result; BROADCAST_KEYS_MAX is pinned below the tick size
+    so the shuffle-join (non-broadcast) path is the one under test."""
+    import etl_bitcoin_spark.operators.views as views_mod
+    from pyspark.sql import DataFrame
+
+    n = 100_000
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    spec = ViewSpec(
+        "conv_rollup",
+        "conv_id string",
+        {
+            "n_turns": ("count", "long"),
+            "total_chars": ("sum", "length(coalesce(text, ''))", "long"),
+            "last_ts": ("max", "ts", "timestamp"),
+        },
+        key_is_upstream_key=True,
+    )
+    down = create_view_table(spark, str(tmp_path / "big"), spec, 8)
+
+    def _batch(first_lsn, op, text_prefix):
+        return spark.range(n).select(
+            (F.col("id") + first_lsn).alias("lsn"),
+            F.lit(op).alias("op"),
+            F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit(text_prefix), F.col("id")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(F.col("id") + first_lsn).alias("ts"),
+        )
+
+    apply_batch(up, _batch(0, "I", "x"), "big0",
+                lsn_range_hint=(0, n - 1))
+    assert refresh_view(up, down, spec)["applied"]  # bootstrap tick
+
+    # every group changes in one tick
+    apply_batch(up, _batch(n, "U", "longer-"), "big1",
+                lsn_range_hint=(n, 2 * n - 1))
+
+    monkeypatch.setattr(views_mod, "BROADCAST_KEYS_MAX", 10_000)
+    orig_collect = DataFrame.collect
+
+    def guarded(self):
+        rows = orig_collect(self)
+        assert len(rows) <= 20_000, (
+            f"driver-side collect of {len(rows)} rows during view tick"
+        )
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    r = refresh_view(up, down, spec, mode="algebraic")
+    monkeypatch.setattr(DataFrame, "collect", orig_collect)
+    assert r["applied"] and r["fallback_groups"] == 0, r
+
+    # distributed equality check (no driver materialization here either)
+    got = down.read(user_cols=True).select(
+        "conv_id", "n_turns", "total_chars", "last_ts"
+    )
+    want = full_compute(spec, up.read(user_cols=True)).select(
+        "conv_id", "n_turns", "total_chars", "last_ts"
+    )
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
+    assert got.count() == n
