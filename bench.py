@@ -41,7 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "ann_cosine_topk",
-    "text_quality_score",
+    "text_doc_profile",
     "join_customer_orders",
     "window_topk_orders",
 ]

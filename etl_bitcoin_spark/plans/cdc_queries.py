@@ -195,23 +195,27 @@ def q_cdc_dedup_lsn(spark, sf_dir):
     )
 
 
-def q_cdc_hwm_watermark(spark, sf_dir):
-    """S7 analog: O(1) resume watermark over the change stream."""
+def q_cdc_hwm_filter(spark, sf_dir):
+    """Composite watermark gate (registry budget: one slot covers both
+    S7 faces). Resume-from-watermark filtering — only events above the
+    stored HWM apply — with the O(1) watermark read-back itself
+    (max lsn, event count, first/last event ts) broadcast onto every
+    row, so the hash check pins both the filter and the watermark."""
     b = derived_binlog(spark, sf_dir)
-    return b.agg(
+    wm = b.agg(
         F.max("lsn").alias("hwm"),
         F.count("*").alias("n_events"),
-        F.min(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias("first_ts_str"),
-        F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias("last_ts_str"),
+        F.min(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias(
+            "first_ts_str"
+        ),
+        F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias(
+            "last_ts_str"
+        ),
     )
-
-
-def q_cdc_hwm_filter(spark, sf_dir):
-    """Resume-from-watermark: only events above the stored HWM apply."""
-    b = derived_binlog(spark, sf_dir).filter(F.col("lsn") > 5000)
-    return b.groupBy("op").agg(
+    per_op = b.filter(F.col("lsn") > 5000).groupBy("op").agg(
         F.count("*").alias("n"), F.min("lsn").alias("min_lsn")
     )
+    return per_op.crossJoin(F.broadcast(wm))
 
 
 def q_cdc_schema_evolution(spark, sf_dir):
@@ -419,66 +423,49 @@ def q_cdc_change_feed_pre(spark, sf_dir):
 
 
 def q_cdc_incremental_projection(spark, sf_dir):
-    """Incremental materialized-view maintenance under the oracle gate:
-    the per-conversation rollup is kept current by a relay tick after
-    EVERY upstream micro-batch (bootstrap rebuild on tick 1, then
-    changed-conversations-only refreshes via the change feed), and the
-    final downstream table must equal a from-scratch rollup of the full
-    sequential replay — proving incremental == full recompute. (tmp-dir
-    lifetime note as in q_cdc_time_travel.)"""
+    """Incremental materialized-view maintenance under the oracle gate,
+    BOTH relay modes in one registry slot (gate budget, round-4): two
+    downstream tables ride the same upstream replay — one ticked in
+    ``mode="recompute"`` (changed-conversations-only rebuild via the
+    change feed), one in ``mode="algebraic"`` (delta arithmetic over
+    the preimage feed; upstream touched only for max-regression
+    fallbacks) — and BOTH must equal a from-scratch rollup of the full
+    sequential replay, tagged by a ``mode`` column. (tmp-dir lifetime
+    note as in q_cdc_time_travel.)"""
     from ..operators.incremental import (
         create_conv_summary_table,
         refresh_conv_summaries,
     )
 
-    down = create_conv_summary_table(
+    down_rc = create_conv_summary_table(
         spark, _gate_tmpdir("gate_ipd_"), n_buckets=8
     )
-
-    def _tick(i, lake):
-        r = refresh_conv_summaries(lake, down)
-        assert r["applied"], r
-
-    _replay_lake_mow(spark, sf_dir, "gate_ip_", on_batch=_tick)
-    return down.read(user_cols=True).select(
-        "conv_id",
-        "n_turns",
-        "n_tool_turns",
-        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "last_ts_str"
-        ),
-        "total_chars",
-    )
-
-
-def q_cdc_incremental_projection_alg(spark, sf_dir):
-    """The ALGEBRAIC relay mode under the same oracle as
-    ``cdc_incremental_projection``: per-batch ticks maintain the
-    rollup by delta arithmetic over the preimage change feed (no
-    upstream scan except max-regression fallbacks) and must still
-    equal the from-scratch rollup of the full replay."""
-    from ..operators.incremental import (
-        create_conv_summary_table,
-        refresh_conv_summaries,
-    )
-
-    down = create_conv_summary_table(
+    down_alg = create_conv_summary_table(
         spark, _gate_tmpdir("gate_ipad_"), n_buckets=8
     )
 
     def _tick(i, lake):
-        r = refresh_conv_summaries(lake, down, mode="algebraic")
+        r = refresh_conv_summaries(lake, down_rc, mode="recompute")
+        assert r["applied"], r
+        r = refresh_conv_summaries(lake, down_alg, mode="algebraic")
         assert r["applied"], r
 
-    _replay_lake_mow(spark, sf_dir, "gate_ipa_", on_batch=_tick)
-    return down.read(user_cols=True).select(
-        "conv_id",
-        "n_turns",
-        "n_tool_turns",
-        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "last_ts_str"
-        ),
-        "total_chars",
+    _replay_lake_mow(spark, sf_dir, "gate_ip_", on_batch=_tick)
+
+    def _out(down, mode):
+        return down.read(user_cols=True).select(
+            F.lit(mode).alias("mode"),
+            "conv_id",
+            "n_turns",
+            "n_tool_turns",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_ts_str"
+            ),
+            "total_chars",
+        )
+
+    return _out(down_rc, "recompute").unionByName(
+        _out(down_alg, "algebraic")
     )
 
 
@@ -517,6 +504,44 @@ def q_cdc_incremental_view_roles(spark, sf_dir):
     )
 
 
+def q_cdc_incremental_view_minavg(spark, sf_dir):
+    """The round-4 ViewSpec aggregate vocabulary (min + avg) under an
+    oracle gate, on the same mutable-key scaffold as
+    ``cdc_incremental_view_roles``: min maintains with the removal-side
+    regression fallback (max's mirror), avg maintains invertibly via
+    hidden sum/cnt companions with SQL null semantics. Algebraic
+    per-batch ticks must equal the from-scratch rollup of the full
+    replay."""
+    from ..operators.views import ViewSpec, create_view_table, refresh_view
+
+    spec = ViewSpec(
+        "role_minavg",
+        "role string",
+        {
+            "n_turns": ("count", "long"),
+            "first_ts": ("min", "ts", "timestamp"),
+            "avg_chars": ("avg", "length(text)", "double"),
+        },
+    )
+    down = create_view_table(
+        spark, _gate_tmpdir("gate_ivma_"), spec, n_buckets=4
+    )
+
+    def _tick(i, lake):
+        r = refresh_view(lake, down, spec, mode="algebraic")
+        assert r["applied"], r
+
+    _replay_lake_mow(spark, sf_dir, "gate_ivmal_", on_batch=_tick)
+    return down.read(user_cols=True).select(
+        "role",
+        "n_turns",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "first_ts_str"
+        ),
+        F.round("avg_chars", 6).alias("avg_chars"),
+    )
+
+
 def q_cdc_windowed_op_counts(spark, sf_dir):
     """The streaming windowed-agg OPERATOR (streaming/stateful.py:
     windowed_op_counts — tumbling event-time windows + watermark) under
@@ -543,14 +568,13 @@ QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_change_feed_pre": q_cdc_change_feed_pre,
     "cdc_incremental_projection": q_cdc_incremental_projection,
-    "cdc_incremental_projection_alg": q_cdc_incremental_projection_alg,
     "cdc_incremental_view_roles": q_cdc_incremental_view_roles,
+    "cdc_incremental_view_minavg": q_cdc_incremental_view_minavg,
     "cdc_windowed_op_counts": q_cdc_windowed_op_counts,
     "cdc_fanout_summary": q_cdc_fanout_summary,
     "cdc_lww_apply": q_cdc_lww_apply,
     "cdc_lww_tiebreak": q_cdc_lww_tiebreak,
     "cdc_dedup_lsn": q_cdc_dedup_lsn,
-    "cdc_hwm_watermark": q_cdc_hwm_watermark,
     "cdc_hwm_filter": q_cdc_hwm_filter,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_lineage_metrics": q_cdc_lineage_metrics,
@@ -599,14 +623,19 @@ UNION ALL SELECT * FROM edges UNION ALL SELECT * FROM lin
     # incremental view maintenance == full recompute over the converged
     # winners (the relay applied one tick per upstream micro-batch)
     "cdc_incremental_projection": f"""
-WITH winners AS ({_LWW_SQL})
-SELECT conv_id,
-       CAST(count(*) AS INT) AS n_turns,
-       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS INT)
-         AS n_tool_turns,
-       max(ts_str) AS last_ts_str,
-       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
-FROM winners GROUP BY conv_id
+WITH winners AS ({_LWW_SQL}),
+roll AS (
+  SELECT conv_id,
+         CAST(count(*) AS INT) AS n_turns,
+         CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_tool_turns,
+         max(ts_str) AS last_ts_str,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
+  FROM winners GROUP BY conv_id
+)
+SELECT 'recompute' AS mode, * FROM roll
+UNION ALL
+SELECT 'algebraic' AS mode, * FROM roll
 """,
     "cdc_change_feed": _change_feed_sql(with_images=False),
     "cdc_change_feed_pre": _change_feed_sql(with_images=True),
@@ -651,14 +680,19 @@ uniq AS (
 SELECT op, count(*) AS n, min(lsn) AS min_lsn, max(lsn) AS max_lsn
 FROM uniq GROUP BY op
 """,
-    "cdc_hwm_watermark": f"""
-SELECT max(lsn) AS hwm, count(*) AS n_events,
-       min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts_str, max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts_str
-FROM ({_BINLOG_SQL})
-""",
     "cdc_hwm_filter": f"""
-SELECT op, count(*) AS n, min(lsn) AS min_lsn
-FROM ({_BINLOG_SQL}) WHERE lsn > 5000 GROUP BY op
+WITH binlog AS ({_BINLOG_SQL}),
+wm AS (
+  SELECT max(lsn) AS hwm, count(*) AS n_events,
+         min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts_str,
+         max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts_str
+  FROM binlog
+)
+SELECT op, count(*) AS n, min(lsn) AS min_lsn,
+       any_value(wm.hwm) AS hwm, any_value(wm.n_events) AS n_events,
+       any_value(wm.first_ts_str) AS first_ts_str,
+       any_value(wm.last_ts_str) AS last_ts_str
+FROM binlog CROSS JOIN wm WHERE lsn > 5000 GROUP BY op
 """,
     "cdc_schema_evolution": f"""
 WITH binlog AS ({_BINLOG_SQL}),
@@ -703,14 +737,19 @@ FROM ({_BINLOG_SQL}) GROUP BY bucket
 }
 
 # the algebraic relay must satisfy the SAME oracle as the recompute one
-ORACLES["cdc_incremental_projection_alg"] = ORACLES[
-    "cdc_incremental_projection"
-]
 
 ORACLES["cdc_incremental_view_roles"] = f"""
 WITH winners AS ({_LWW_SQL})
 SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
        max(ts_str) AS last_ts_str
+FROM winners GROUP BY role
+"""
+ORACLES["cdc_incremental_view_minavg"] = f"""
+WITH winners AS ({_LWW_SQL})
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       min(ts_str) AS first_ts_str,
+       round(sum(length(text)) * 1.0
+             / nullif(count(length(text)), 0), 6) AS avg_chars
 FROM winners GROUP BY role
 """

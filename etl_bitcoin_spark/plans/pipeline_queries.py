@@ -635,6 +635,49 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_doc_profile(spark, sf_dir):
+    """Composite per-document text-analysis gate (registry budget,
+    round-4: one slot covers token counting, quality scoring, lang-id,
+    fingerprinting, and the multimodal byte plumbing — the five
+    operators remain individually callable above). ONE explode-agg pass
+    computes the word-level stats; everything else is row-local builtin
+    expressions joined back on doc_id."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    stop = F.when(F.col("w").isin(STOPWORDS), 1).otherwise(0)
+    agg = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(stop).alias("n_stop"),
+        F.sum(F.when(F.col("w") == "the", 1).otherwise(0)).alias("n_the"),
+    )
+    base = d.select(
+        "doc_id", "lang", "n_chars",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("re_tokens"),
+        F.expr(H64_SPARK.format(col="text")).alias("fp"),
+        F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias(
+            "magic"
+        ),
+    )
+    j = base.join(agg, "doc_id")
+    pred = F.when(
+        F.col("n_the") * 20 > F.col("n_tok"), F.lit("en")
+    ).otherwise(F.lit("und"))
+    return j.select(
+        "doc_id", "ws_tokens", "re_tokens", "n_tok", "n_stop",
+        F.round(F.col("n_stop") / F.col("n_tok"), 6).alias("stop_ratio"),
+        F.round(F.col("n_chars") / F.col("n_tok"), 6).alias("chars_per_tok"),
+        "lang", pred.alias("pred"), "fp", "n_bytes", "magic",
+    )
+
+
 def q_multimodal_bytes_meta(spark, sf_dir):
     """Opaque-binary plumbing: utf8-encode text as the stand-in payload,
     surface byte length + magic prefix (decode itself is a stub — no
@@ -654,18 +697,13 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_tuned": q_dedup_minhash_lsh_tuned,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "curation_pipeline": q_curation_pipeline,
-    "text_token_count": q_text_token_count,
-    "text_quality_score": q_text_quality_score,
-    "text_lang_id": q_text_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "multimodal_bytes_meta": q_multimodal_bytes_meta,
+    "text_doc_profile": q_text_doc_profile,
 }
 
 _COS_DUCK = (
@@ -776,25 +814,6 @@ jac AS (
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= 0.7
-""",
-    "dedup_simhash": f"""
-WITH corpus AS ({_DOCS_MUT_DUCK}),
-words AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
-),
-hashed AS (SELECT doc_id, {H64_DUCK.format(col="word")} AS h FROM words),
-bits AS (
-  SELECT doc_id, h, b FROM hashed, range(0, 16) t(b)
-),
-sums AS (
-  SELECT doc_id, b,
-         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM bits GROUP BY doc_id, b
-)
-SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM sums GROUP BY doc_id
 """,
     "dedup_simhash_pairs": f"""
 WITH corpus AS ({_DOCS_MUT_DUCK}),
@@ -907,6 +926,31 @@ j AS (
 )
 SELECT va, vb, cos FROM j WHERE cos >= 0.999
 """,
+    "text_doc_profile": f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tok,
+         CAST(sum(CASE WHEN w IN ({', '.join(repr(s) for s in STOPWORDS)})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS n_the
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(d.text) - length(replace(d.text, ' ', '')) + 1 AS ws_tokens,
+       len(regexp_extract_all(d.text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS re_tokens,
+       a.n_tok, a.n_stop,
+       round(a.n_stop * 1.0 / a.n_tok, 6) AS stop_ratio,
+       round(d.n_chars * 1.0 / a.n_tok, 6) AS chars_per_tok,
+       d.lang,
+       CASE WHEN a.n_the * 20 > a.n_tok THEN 'en' ELSE 'und' END AS pred,
+       {H64_DUCK.format(col="d.text")} AS fp,
+       octet_length(encode(d.text)) AS n_bytes,
+       lower(hex(encode(substr(d.text, 1, 4)))) AS magic
+FROM documents d JOIN agg a USING (doc_id)
+""",
     "curation_pipeline": f"""
 WITH corpus AS (
   SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -933,52 +977,5 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(n_copies - 1) AS BIGINT) AS n_dups_removed,
        CAST(sum(n_tok) AS BIGINT) AS sum_tok
 FROM deduped GROUP BY source
-""",
-    "text_token_count": r"""
-SELECT doc_id,
-       length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
-       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
-         AS re_tokens
-FROM documents
-""",
-    "text_quality_score": f"""
-WITH words AS (
-  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
-  FROM documents
-),
-agg AS (
-  SELECT doc_id, count(*) AS n_tok,
-         CAST(sum(CASE WHEN w IN ({', '.join(repr(s) for s in STOPWORDS)})
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
-         min(n_chars) AS n_chars
-  FROM words GROUP BY doc_id
-)
-SELECT doc_id, n_tok, n_stop,
-       round(n_stop * 1.0 / n_tok, 6) AS stop_ratio,
-       round(n_chars * 1.0 / n_tok, 6) AS chars_per_tok
-FROM agg
-""",
-    "text_lang_id": """
-WITH words AS (
-  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
-),
-agg AS (
-  SELECT doc_id, lang, count(*) AS n_tok,
-         sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS n_the
-  FROM words GROUP BY doc_id, lang
-)
-SELECT lang,
-       CASE WHEN n_the * 20 > n_tok THEN 'en' ELSE 'und' END AS pred,
-       count(*) AS n
-FROM agg GROUP BY lang, pred
-""",
-    "doc_fingerprint": f"""
-SELECT doc_id, {H64_DUCK.format(col="text")} AS fp FROM documents
-""",
-    "multimodal_bytes_meta": """
-SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       lower(hex(encode(substr(text, 1, 4)))) AS magic
-FROM documents
 """,
 }
