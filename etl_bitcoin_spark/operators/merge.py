@@ -58,7 +58,11 @@ VALUE_COLS = ["role", "text", "tool", "ts"]
 # formulation, below it with the single-sort window. The measured
 # crossover sits between ~1 event/key (window wins 1.4x, round-1 spike)
 # and ~1000 events/key (agg wins 1.9x, scripts/spike_hotkey.py); 4 is
-# safely past the window regime's flat zone on both spikes.
+# safely past the window regime's flat zone on both spikes. Pinned by
+# tests/test_property_merge.py::test_auto_strategy_crossover: below it
+# auto must resolve "window", above it "agg", and state == oracle on
+# BOTH sides of the boundary (the HLL estimate may land either way at
+# exactly 4).
 AUTO_AGG_MULTIPLICITY = 4.0
 
 

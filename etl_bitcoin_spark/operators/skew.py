@@ -80,21 +80,25 @@ def diagnose_skew(
 ) -> list[dict]:
     """Sampled key histogram: returns the heaviest keys with their
     estimated share. Use the share to size salt_buckets
-    (share * n_partitions rounded up)."""
-    total = df.count()
-    if total == 0:
-        return []
+    (share * n_partitions rounded up).
+
+    ONE Spark job: the per-key sample histogram is aggregated once and
+    feeds BOTH the top-k branch and the sample-size scalar (broadcast
+    cross join) — the shuffle is shared via ReusedExchange, so the
+    input is scanned once instead of the former three passes
+    (count + sample count + histogram)."""
     sampled = df.sample(fraction=min(1.0, sample_fraction), seed=42)
-    n_sampled = sampled.count()
-    if n_sampled == 0:
-        sampled, n_sampled = df, total
-    rows = (
-        sampled.groupBy(key)
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc())
-        .limit(top)
-        .collect()
-    )
+    hist = sampled.groupBy(key).agg(F.count("*").alias("n"))
+    top_rows = hist.orderBy(F.col("n").desc()).limit(top)
+    n_total = hist.agg(F.sum("n").alias("__n_sampled"))
+    rows = top_rows.crossJoin(F.broadcast(n_total)).collect()
+    if not rows:
+        # sample came back empty: truly empty input -> [], otherwise
+        # diagnose the full frame (rare small-input path)
+        if min(1.0, sample_fraction) >= 1.0 or df.isEmpty():
+            return []
+        return diagnose_skew(df, key, 1.0, top)
+    n_sampled = rows[0]["__n_sampled"]
     return [
         {"key": r[key], "est_share": round(r["n"] / n_sampled, 4)}
         for r in rows

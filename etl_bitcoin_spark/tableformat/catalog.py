@@ -176,8 +176,9 @@ class LakeCatalog:
         p = self._batch_marker(batch_id)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         try:
-            with open(p, "x"):
-                pass
+            # creation stamp inside the marker (see lake.py rationale)
+            with open(p, "x") as f:
+                f.write(repr(time.time()))
         except FileExistsError:
             pass
 

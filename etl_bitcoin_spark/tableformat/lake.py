@@ -379,8 +379,11 @@ class LakeTable:
         p = self._batch_marker(batch_id)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         try:
-            with open(p, "x"):
-                pass
+            # creation time INSIDE the marker: backup/restore or copies
+            # rewrite filesystem mtimes, which would silently mis-age
+            # the exactly-once absorption window if pruning trusted them
+            with open(p, "x") as f:
+                f.write(repr(time.time()))
         except FileExistsError:
             pass
 
@@ -1341,7 +1344,15 @@ def prune_marker_ledger(ledger: str, retention_sec: float | None) -> int:
         for fn in os.listdir(sd):
             p = os.path.join(sd, fn)
             try:
-                if os.path.getmtime(p) < cutoff:
+                # age by the creation stamp recorded in the marker (see
+                # _mark_batch_applied); legacy/empty markers fall back
+                # to mtime
+                try:
+                    with open(p) as f:
+                        born = float(f.read().strip())
+                except (ValueError, OSError):
+                    born = os.path.getmtime(p)
+                if born < cutoff:
                     os.remove(p)
                     removed += 1
             except FileNotFoundError:

@@ -67,7 +67,14 @@ def main() -> None:
 
     spark = build_session(args)
     out: dict[str, object] = {}
-    run_id = int(time.time())
+    # uuid suffix: two runs in the same second (or after a clock step)
+    # must not collide, or the batch ledger would silently absorb the
+    # second run's actions as replays (idempotence is only needed for
+    # crash replay of the SAME commit, which the per-action commit
+    # protocol already provides)
+    import uuid
+
+    run_id = f"{int(time.time())}-{uuid.uuid4().hex[:8]}"
 
     if args.lake:
         from etl_bitcoin_spark.tableformat import LakeTable
