@@ -222,22 +222,42 @@ class LakeCatalog:
         cat = self.snapshot()
         if self._batch_applied(cat, batch_id):
             return False
-        ours: dict[str, int] = {}
-        for name, kw in writes.items():
+
+        def _stage(name: str, kw: dict[str, Any]) -> tuple[str, int]:
             table = self.table(name)
             applied = table.commit(batch_id=f"{batch_id}/{name}", **kw)
             if applied:
-                ours[name] = table.snapshot()["version"]
-            else:
-                # crash-resume path: this table landed the batch in a
-                # previous attempt — pin the version that carries it.
-                v = self._version_for_batch(table, f"{batch_id}/{name}")
-                if v is None:
-                    raise RuntimeError(
-                        f"table {name}: batch {batch_id} recorded as applied "
-                        "but no manifest carries it (history expired?)"
-                    )
-                ours[name] = v
+                return name, table.snapshot()["version"]
+            # crash-resume path: this table landed the batch in a
+            # previous attempt — pin the version that carries it.
+            v = self._version_for_batch(table, f"{batch_id}/{name}")
+            if v is None:
+                raise RuntimeError(
+                    f"table {name}: batch {batch_id} recorded as applied "
+                    "but no manifest carries it (history expired?)"
+                )
+            return name, v
+
+        ours: dict[str, int] = {}
+        if len(writes) > 1:
+            # The per-table stage commits are INDEPENDENT Spark jobs
+            # (distinct tables, distinct data dirs, per-table CAS) —
+            # submit them concurrently so the cluster overlaps their
+            # write stages instead of running four jobs back to back.
+            # Atomicity is untouched: visibility still flips only at
+            # the single catalog CAS publish below.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(writes), 8)
+            ) as ex:
+                for name, v in ex.map(
+                    lambda kv: _stage(*kv), writes.items()
+                ):
+                    ours[name] = v
+        else:
+            for name, kw in writes.items():
+                ours[name] = _stage(name, kw)[1]
         for _attempt in range(max_retries):
             cur = self.snapshot()
             if self._batch_applied(cur, batch_id):
