@@ -452,8 +452,26 @@ def apply_batch(
         from pyspark.sql import Observation
 
         obs = Observation()
+        # Bucket-ALIGNED resolution exchange (round 4): the delta write
+        # partitions by bucket = pmod(hash(keys), n_buckets), so any
+        # exchange width P with P | n_buckets or n_buckets | P keeps
+        # every bucket's rows inside one task group — the write emits
+        # max(1, P/n_buckets) files per touched bucket instead of
+        # (P x buckets) fragments. Prefer the session's shuffle
+        # parallelism when it already aligns (fewer task waves than
+        # forcing P = n_buckets); fall back to n_buckets otherwise.
+        # Bounded file counts also keep the commit's footer-stat reads
+        # on the cheap threaded driver path (<=256 files), never the
+        # distributed footer job.
+        p_conf = int(
+            lake.spark.conf.get("spark.sql.shuffle.partitions", "0") or 0
+        )
+        aligned = p_conf > 0 and (
+            n_buckets % p_conf == 0 or p_conf % n_buckets == 0
+        )
+        npart = p_conf if aligned else n_buckets
         content = _resolve_union(
-            events_as_rows(ev), None, lsn_stats=obs
+            events_as_rows(ev), npart, lsn_stats=obs
         ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
         out: dict[str, Any] = {}
 

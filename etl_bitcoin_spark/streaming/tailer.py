@@ -50,6 +50,7 @@ class BinlogTailer:
         merge_on_read: bool = False,
         compact_max_deltas: int | None = 8,
         merge_strategy: str = "window",
+        compact_policy: str = "inline",
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -67,6 +68,22 @@ class BinlogTailer:
         # tax over compact_max_deltas micro-batches.
         self.merge_on_read = merge_on_read
         self.compact_max_deltas = compact_max_deltas
+        # "inline": the policy compaction runs inside the trigger (its
+        # rewrite shows up in that batch's latency — honest but it IS
+        # the p99). "async": compaction runs on a background thread,
+        # overlapping subsequent triggers — the hot path never pays the
+        # rewrite. Concurrency is safe by construction: compaction
+        # commits through the same CAS (apply_batch retries a lost
+        # race, the compactor skips one), and compact_deltas folds a
+        # SNAPSHOT of the delta set — deltas appended meanwhile stay
+        # pending for the next window. At most one compaction is in
+        # flight; stream stop (_flush_state) drains it and restores the
+        # policy bound with one final synchronous pass.
+        if compact_policy not in ("inline", "async"):
+            raise ValueError(f"unknown compact_policy {compact_policy!r}")
+        self.compact_policy = compact_policy
+        self._maint = None  # lazy single-thread executor (async policy)
+        self._maint_fut = None
         # "window" (default), "agg" (the update-storm strategy), or
         # "auto" (per-batch multiplicity signal riding the stats job);
         # see operators.merge.merge_batch_agg for the crossover. On the
@@ -143,10 +160,18 @@ class BinlogTailer:
 
     def _flush_state(self) -> None:
         """Block until the last async bloom save landed (call at drain
-        end / stream stop, before the checkpoint is considered done)."""
+        end / stream stop, before the checkpoint is considered done).
+        Under compact_policy="async", also drain the in-flight
+        compaction and run one final synchronous pass so the table
+        meets the read-amp policy bound at stream stop."""
         if self._bg_save is not None:
             self._bg_save.result()
             self._bg_save = None
+        if self._maint_fut is not None:
+            self._maint_fut.result()
+            self._maint_fut = None
+            if self.compact_max_deltas is not None:
+                self._compact_once(f"compact-{self.ns}-final")
 
     # -------------------------------------------------------------- run
     def _apply(self, batch_df, batch_id: int) -> None:
@@ -189,16 +214,33 @@ class BinlogTailer:
             # window — idempotent batch id, crash-replay safe. A lost
             # maintenance race here is NOT worth failing the stream:
             # compaction is a policy action, the next batch retries it.
-            try:
-                c = self.lake.compact_deltas(
-                    self.compact_max_deltas,
-                    batch_id=f"compact-{self.ns}-{batch_id}",
-                )
-            except CommitConflict:
-                c = {"applied": False}
-            if c["applied"]:
-                res = dict(res, compacted_buckets=c["buckets_compacted"])
+            if self.compact_policy == "async":
+                if self._maint_fut is None or self._maint_fut.done():
+                    if self._maint is None:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        self._maint = ThreadPoolExecutor(max_workers=1)
+                    self._maint_fut = self._maint.submit(
+                        self._compact_once, f"compact-{self.ns}-{batch_id}"
+                    )
+                    res = dict(res, compaction="scheduled")
+            else:
+                c = self._compact_once(f"compact-{self.ns}-{batch_id}")
+                if c["applied"]:
+                    res = dict(
+                        res, compacted_buckets=c["buckets_compacted"]
+                    )
         self.batch_results.append(res)
+
+    def _compact_once(self, batch_id: str) -> dict[str, Any]:
+        from ..tableformat.lake import CommitConflict
+
+        try:
+            return self.lake.compact_deltas(
+                self.compact_max_deltas, batch_id=batch_id
+            )
+        except CommitConflict:
+            return {"applied": False}
 
     def _stream(self):
         return (

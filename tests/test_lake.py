@@ -632,10 +632,18 @@ def test_batch_marker_ledger_retention(spark, tmp_lake_dir):
                            "2024-01-01 00:00:01", 2)])
     )
     assert lake.commit(df2, [], "new-batch", None, mode="append")
-    # age the first marker past retention
+    # an mtime rewrite alone (backup/restore, copies) must NOT age a
+    # marker: ageing keys on the creation stamp INSIDE the file
     old_marker = lake._batch_marker("old-batch")
     past = time.time() - 3600
     os.utime(old_marker, (past, past))
+    res = lake.expire_snapshots(keep_last=100,
+                                batch_marker_retention_sec=600)
+    assert res["batch_markers_removed"] == 0
+    assert os.path.exists(old_marker)
+    # age the first marker past retention via its recorded stamp
+    with open(old_marker, "w") as f:
+        f.write(repr(past))
 
     res = lake.expire_snapshots(keep_last=100,
                                 batch_marker_retention_sec=600)

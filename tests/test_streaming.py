@@ -400,3 +400,38 @@ def test_bulk_auto_strategy_stays_window_with_telemetry(spark, tmp_path):
     mults = [r["multiplicity"] for r in results]
     assert all(m > 4 for m in mults), mults  # storm telemetry visible
     _check(lake, pdf)
+
+
+def test_stream_merge_on_read_async_compaction(spark, tmp_path, binlog_pdf):
+    """compact_policy="async": the policy compaction runs off the hot
+    trigger (background thread racing the stream's own commits through
+    the CAS), the stream still converges exactly to the oracle, and the
+    final synchronous pass at stream stop restores the read-amp bound."""
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    ckpt = str(tmp_path / "ckpt")
+    tailer = BinlogTailer(
+        spark, wal, lake, ckpt, max_files_per_trigger=1,
+        merge_on_read=True, compact_max_deltas=3,
+        compact_policy="async",
+    )
+    results = tailer.run_available()
+    assert sum(r.get("events", 0) for r in results) == 600
+    assert any(r.get("compaction") == "scheduled" for r in results)
+    # the stop-time pass restored the policy bound
+    max_deltas = max(
+        len(e["deltas"]) for e in lake.bucket_entries().values()
+    )
+    assert max_deltas <= 3
+    _check(lake, binlog_pdf)
+    # redelivery on a fresh checkpoint: exactly-once holds under the
+    # async compactor too
+    r2 = BinlogTailer(
+        spark, wal, lake, str(tmp_path / "ckpt2"), merge_on_read=True,
+        compact_policy="async",
+    ).run_available()
+    assert sum(r.get("events", 0) for r in r2) == 0
+    _check(lake, binlog_pdf)
