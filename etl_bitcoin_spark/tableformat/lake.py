@@ -152,7 +152,7 @@ def _atomic_write(path: str, payload: str) -> None:
 def _empty_bm() -> dict[str, Any]:
     return {
         "files": [], "rows": 0, "deltas": [], "delta_rows": 0,
-        "file_stats": {},
+        "file_stats": {}, "key_stats": {},
     }
 
 
@@ -161,12 +161,16 @@ def _footer_lsn_stats(md) -> list[int] | None:
     — free at footer-read time; powers manifest-level FILE SKIPPING for
     lsn-bounded scans (the Iceberg data-skipping pattern: prune files
     before opening them, on top of Spark's own row-group pruning)."""
+    return _footer_minmax(md, LSN_COL, int)
+
+
+def _footer_minmax(md, col_name: str, cast) -> list | None:
     lo = hi = None
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            if col.path_in_schema != LSN_COL:
+            if col.path_in_schema != col_name:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
@@ -175,7 +179,28 @@ def _footer_lsn_stats(md) -> list[int] | None:
             hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
         return None
-    return [int(lo), int(hi)]
+    try:
+        return [cast(lo), cast(hi)]
+    except (TypeError, ValueError):
+        return None
+
+
+def _footer_key_stats(md, key_col: str) -> list[str] | None:
+    """[min, max] of the FIRST key column (string), same footer pass as
+    the lsn stats — powers key-range file skipping: after a clustered
+    compaction splits a bucket into key-ordered files, a point lookup
+    opens only the file(s) whose range covers the key instead of every
+    file in the bucket. Non-string mins (or truncated/absent stats)
+    disable skipping for that file, never correctness."""
+
+    def _to_str(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "strict")
+        if isinstance(v, str):
+            return v
+        raise TypeError(type(v))
+
+    return _footer_minmax(md, key_col, _to_str)
 
 
 class CommitConflict(RuntimeError):
@@ -395,6 +420,7 @@ class LakeTable:
         user_cols: bool = False,
         resolve_deltas: bool = True,
         lsn_range: tuple[int | None, int | None] | None = None,
+        key_range: tuple[str | None, str | None] | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``buckets`` prunes to those buckets only —
         the MERGE's partition-pruning fast path (only touched buckets are
@@ -410,7 +436,23 @@ class LakeTable:
         row-group pruning. Implies a raw scan (no delta resolution:
         resolution needs every candidate row of a key, so pruned input
         would change its meaning); intended for maintenance scans like
-        tombstone-compaction victim discovery and lsn-bounded audits."""
+        tombstone-compaction victim discovery and lsn-bounded audits.
+
+        ``key_range=(lo, hi)`` (either side None-open, values of the
+        FIRST key column) is manifest-level file skipping for POINT
+        LOOKUPS and key-range scans: files whose footer [min,max] key
+        range (recorded at commit time) cannot contain an in-range key
+        are never opened. Unlike ``lsn_range`` this COMPOSES with delta
+        resolution: every stored row of an in-range key lives only in
+        files whose key range covers it, so kept files are complete for
+        every in-range key; rows of out-of-range keys are dropped
+        before resolution (they may be incomplete in the pruned set and
+        are not part of the answer). After a clustered compaction split
+        the bucket into key-ordered files (``compact_files(...,
+        max_records_per_file=...)``), a point lookup opens ~1 file
+        instead of the whole bucket — at 100 TB that is the difference
+        between one task and thousands. Requires a non-null first key
+        column (the table-key contract)."""
         m = self.snapshot(version)
         entries = self.bucket_entries(version=m["version"], buckets=buckets)
         if lsn_range is not None:
@@ -418,12 +460,28 @@ class LakeTable:
             lo = -(1 << 62) if lsn_range[0] is None else lsn_range[0]
             hi = (1 << 62) if lsn_range[1] is None else lsn_range[1]
 
-            def _keep(e, f):
+            def _lkeep(e, f):
                 st = e.get("file_stats", {}).get(f)
                 return st is None or (st[0] <= hi and st[1] >= lo)
         else:
-            def _keep(e, f):
+            def _lkeep(e, f):
                 return True
+
+        if key_range is not None:
+            klo, khi = key_range
+
+            def _kkeep(e, f):
+                st = e.get("key_stats", {}).get(f)
+                return st is None or (
+                    (klo is None or st[1] >= klo)
+                    and (khi is None or st[0] <= khi)
+                )
+        else:
+            def _kkeep(e, f):
+                return True
+
+        def _keep(e, f):
+            return _lkeep(e, f) and _kkeep(e, f)
 
         base_files = [
             os.path.join(self.root, f)
@@ -450,6 +508,18 @@ class LakeTable:
             )
 
         df = _scan(base_files)
+        if key_range is not None:
+            kcol = F.col(m["key_cols"][0])
+            kcond = F.lit(True)
+            if key_range[0] is not None:
+                kcond = kcond & (kcol >= F.lit(key_range[0]))
+            if key_range[1] is not None:
+                kcond = kcond & (kcol <= F.lit(key_range[1]))
+            df = df.filter(kcond)
+            _scan_raw = _scan
+
+            def _scan(files):  # noqa: F811 — key-filtered variant
+                return _scan_raw(files).filter(kcond)
         if delta_files:
             if resolve_deltas:
                 # Merge-on-read: base winners/tombstones vs delta batch
@@ -494,6 +564,7 @@ class LakeTable:
         max_retries: int = 5,
         lineage_fn=None,
         new_n_buckets: int | None = None,
+        max_records_per_file: int | None = None,
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -545,11 +616,13 @@ class LakeTable:
         # footer reads cost ~0.5 ms/file; above the threshold a
         # DISTRIBUTED footer job keeps wall time flat in bucket count —
         # never a serial driver crawl.
-        (
-            new_content.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
-        )
+        writer = new_content.write.mode("overwrite").partitionBy(BUCKET_COL)
+        if max_records_per_file is not None:
+            # split each task's (key-sorted) output into sequential
+            # files: with clustered input this yields key-DISJOINT file
+            # ranges, the shape key-range skipping needs
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(out_dir)
         rel = os.path.relpath(out_dir, self.root)
         work = []
         for entry in os.listdir(out_dir):
@@ -566,23 +639,28 @@ class LakeTable:
             # small commit: direct footer reads beat a job round-trip
             from concurrent.futures import ThreadPoolExecutor
 
+            key0 = self.snapshot()["key_cols"][0]
+
             def _meta(item):
                 b, entry, fn = item
                 md = pq.read_metadata(os.path.join(out_dir, entry, fn))
                 return (
                     b, os.path.join(rel, entry, fn), md.num_rows,
-                    _footer_lsn_stats(md),
+                    _footer_lsn_stats(md), _footer_key_stats(md, key0),
                 )
 
             with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
-                for b, relpath, n, st in ex.map(_meta, work):
+                for b, relpath, n, st, kst in ex.map(_meta, work):
                     info = per_bucket.setdefault(
-                        b, {"files": [], "rows": 0, "stats": {}}
+                        b, {"files": [], "rows": 0, "stats": {},
+                            "kstats": {}}
                     )
                     info["files"].append(relpath)
                     info["rows"] += n
                     if st is not None:
                         info["stats"][relpath] = st
+                    if kst is not None:
+                        info["kstats"][relpath] = kst
         else:
             # scale path: read footers ON THE EXECUTORS — one tiny job,
             # wall time flat in bucket count (a 4096-bucket commit reads
@@ -595,6 +673,7 @@ class LakeTable:
             )
 
             lsn_col = LSN_COL
+            key0 = self.snapshot()["key_cols"][0]
 
             def _read_footers(batches):
                 # self-contained closure (pyarrow only): survives pickling
@@ -602,48 +681,68 @@ class LakeTable:
                 # this package (see state.py bloom UDF for the same rule)
                 import pyarrow.parquet as _pq
 
-                def _stats(md):
+                def _minmax(md, name):
                     lo = hi = None
                     for rg in range(md.num_row_groups):
                         g = md.row_group(rg)
                         for ci in range(g.num_columns):
                             col = g.column(ci)
-                            if col.path_in_schema != lsn_col:
+                            if col.path_in_schema != name:
                                 continue
                             st = col.statistics
                             if st is None or not st.has_min_max:
                                 return None
                             lo = st.min if lo is None else min(lo, st.min)
                             hi = st.max if hi is None else max(hi, st.max)
-                    return None if lo is None else (int(lo), int(hi))
+                    return None if lo is None else (lo, hi)
+
+                def _s(v):
+                    if isinstance(v, bytes):
+                        return v.decode("utf-8", "replace")
+                    return v if isinstance(v, str) else None
 
                 for pdf in batches:
                     pdf = pdf.copy()
-                    rows, los, his = [], [], []
+                    rows, los, his, klos, khis = [], [], [], [], []
                     for p in pdf["abspath"]:
                         md = _pq.read_metadata(p)
                         rows.append(md.num_rows)
-                        st = _stats(md)
-                        los.append(None if st is None else st[0])
-                        his.append(None if st is None else st[1])
+                        st = _minmax(md, lsn_col)
+                        los.append(None if st is None else int(st[0]))
+                        his.append(None if st is None else int(st[1]))
+                        kst = _minmax(md, key0)
+                        klo = None if kst is None else _s(kst[0])
+                        khi = None if kst is None else _s(kst[1])
+                        if klo is None or khi is None:
+                            klo = khi = None
+                        klos.append(klo)
+                        khis.append(khi)
                     pdf["rows"], pdf["lsn_lo"], pdf["lsn_hi"] = rows, los, his
-                    yield pdf[["b", "relpath", "rows", "lsn_lo", "lsn_hi"]]
+                    pdf["key_lo"], pdf["key_hi"] = klos, khis
+                    yield pdf[["b", "relpath", "rows", "lsn_lo", "lsn_hi",
+                               "key_lo", "key_hi"]]
 
             stats = meta_rows.repartition(
                 min(len(work), 2 * int(self.spark.sparkContext.defaultParallelism))
             ).mapInPandas(
                 _read_footers,
-                "b string, relpath string, rows long, lsn_lo long, lsn_hi long",
+                "b string, relpath string, rows long, lsn_lo long, "
+                "lsn_hi long, key_lo string, key_hi string",
             ).collect()
             for r in stats:
                 info = per_bucket.setdefault(
-                    r["b"], {"files": [], "rows": 0, "stats": {}}
+                    r["b"], {"files": [], "rows": 0, "stats": {},
+                             "kstats": {}}
                 )
                 info["files"].append(r["relpath"])
                 info["rows"] += int(r["rows"])
                 if r["lsn_lo"] is not None:
                     info["stats"][r["relpath"]] = [
                         int(r["lsn_lo"]), int(r["lsn_hi"])
+                    ]
+                if r["key_lo"] is not None:
+                    info["kstats"][r["relpath"]] = [
+                        r["key_lo"], r["key_hi"]
                     ]
         for info in per_bucket.values():
             info["files"].sort()
@@ -707,6 +806,7 @@ class LakeTable:
                             "deltas": [],
                             "delta_rows": 0,
                             "file_stats": info.get("stats", {}),
+                            "key_stats": info.get("kstats", {}),
                         }
                     else:
                         new_ptrs.setdefault(b, None)
@@ -722,6 +822,10 @@ class LakeTable:
                             **cur_bm.get("file_stats", {}),
                             **info.get("stats", {}),
                         },
+                        "key_stats": {
+                            **cur_bm.get("key_stats", {}),
+                            **info.get("kstats", {}),
+                        },
                     }
                 else:  # delta
                     cur_bm = self._load_bm(self._bucket_pointer(cur, b))
@@ -733,6 +837,10 @@ class LakeTable:
                         "file_stats": {
                             **cur_bm.get("file_stats", {}),
                             **info.get("stats", {}),
+                        },
+                        "key_stats": {
+                            **cur_bm.get("key_stats", {}),
+                            **info.get("kstats", {}),
                         },
                     }
                 new_ptrs[b] = {
@@ -1208,6 +1316,7 @@ class LakeTable:
         self,
         max_files_per_bucket: int = 8,
         batch_id: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, Any]:
         """Small-file bin-packing (the OPTIMIZE analog) for APPEND-mode
         tables: every append commit adds a file per touched bucket, so a
@@ -1264,12 +1373,18 @@ class LakeTable:
             .repartition(len(victims), F.col(BUCKET_COL))
             .sortWithinPartitions(BUCKET_COL, *m["key_cols"])
         )
+        # ``max_records_per_file`` splits each bucket's key-sorted
+        # stream into key-DISJOINT files (Iceberg's target-file-size
+        # split of sorted data): together with the per-file key stats
+        # recorded at commit, a later ``read(key_range=...)`` opens
+        # only the file(s) covering the key instead of the bucket.
         ok = self.commit(
             content,
             victims,
             batch_id or f"compact-files-v{m['version']}",
             metrics={"compaction": "files", "buckets": len(victims)},
             base_version=m["version"],
+            max_records_per_file=max_records_per_file,
         )
         return {"buckets_compacted": len(victims) if ok else 0, "applied": ok}
 

@@ -683,3 +683,65 @@ def test_marker_prune_tolerates_missing_ledger_dir(spark, tmp_lake_dir):
     shutil.rmtree(f"{tmp_lake_dir}/_manifests/batches")
     res = lake.expire_snapshots(keep_last=5, batch_marker_retention_sec=1)
     assert res["batch_markers_removed"] == 0
+
+
+def test_key_range_file_skipping(spark, tmp_lake_dir):
+    """Key-range data skipping: commits record per-file [min,max] of the
+    first key column; a clustered compaction with max_records_per_file
+    splits each bucket into key-DISJOINT files; read(key_range=...) then
+    opens only covering files — and still returns exactly the rows a
+    plain filter would, including through merge-on-read deltas."""
+    from etl_bitcoin_spark.operators.merge import apply_batch
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    # three append commits x 40 convs each -> 3 files/bucket, then pack
+    for c in range(3):
+        rows = [
+            (f"conv_{40 * c + i:03d}", 0, "user", f"t{40 * c + i}", None,
+             "2024-01-01 00:00:00", 40 * c + i)
+            for i in range(40)
+        ]
+        assert lake.commit(
+            _with_bucket(lake, _mk(spark, rows)), [], f"a{c}", None,
+            mode="append",
+        )
+    r = lake.compact_files(max_files_per_bucket=1, max_records_per_file=15)
+    assert r["applied"] and r["buckets_compacted"] == 2
+    ent = lake.bucket_entries()
+    n_files = sum(len(e["files"]) for e in ent.values())
+    assert n_files >= 6  # split into multiple key-ordered files/bucket
+    # every packed file carries key stats
+    for e in ent.values():
+        assert set(e["files"]) == set(e.get("key_stats", {})), e
+
+    full = lake.read(user_cols=True)
+    pruned = lake.read(user_cols=True, key_range=("conv_010", "conv_025"))
+    want = sorted(
+        r.conv_id for r in full.collect()
+        if "conv_010" <= r.conv_id <= "conv_025"
+    )
+    got = sorted(r.conv_id for r in pruned.collect())
+    assert got == want and len(got) == 16
+    assert len(pruned.inputFiles()) < len(full.inputFiles()), (
+        pruned.inputFiles(), full.inputFiles(),
+    )
+
+    # point lookup: a single conv opens only its covering file(s)
+    one = lake.read(user_cols=True, key_range=("conv_050", "conv_050"))
+    assert [r.conv_id for r in one.collect()] == ["conv_050"]
+    assert len(one.inputFiles()) <= 2
+
+    # composes with merge-on-read: a delta update to an in-range key
+    # resolves through the pruned read
+    ev = spark.createDataFrame(
+        [(1000, "U", "conv_051", 0, "user", "updated", None,
+          __import__("datetime").datetime(2025, 1, 1))],
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp",
+    )
+    apply_batch(lake, ev, "d1", merge_mode="read")
+    got = lake.read(user_cols=True, key_range=("conv_050", "conv_052"))
+    vals = {r.conv_id: r.text for r in got.collect()}
+    assert vals == {
+        "conv_050": "t50", "conv_051": "updated", "conv_052": "t52",
+    }
