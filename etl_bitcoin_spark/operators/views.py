@@ -38,6 +38,23 @@ Aggregate kinds (``out_type`` is the stored Spark type):
                                       ``__<name>_cnt`` long) and
                                       recomputed as sum/cnt each tick —
                                       never ambiguous, never falls back
+- ``("approx_distinct", expr_sql, out_type)`` — approximate distinct
+                                      count via an engine-built DENSE
+                                      HLL sketch (1024 registers stored
+                                      as a ``map<int,int>`` hidden
+                                      companion). Unlike library
+                                      sketches the union is elementwise
+                                      register max — EXACT, associative
+                                      and representation-stable — so
+                                      maintained state equals a full
+                                      recompute bit-for-bit (the "one
+                                      definition, cannot drift"
+                                      invariant survives approximation:
+                                      the ESTIMATE is approximate, the
+                                      SKETCH algebra is exact). Inserts
+                                      union; any removal of a non-null
+                                      value falls back to recomputing
+                                      that group (registers only grow)
 
 Key-changing updates are handled for free: the preimage row decrements
 its OLD group, the postimage increments the NEW one — grouping the feed
@@ -86,6 +103,16 @@ BROADCAST_KEYS_MAX = 100_000
 _INVERTIBLE = ("count", "sum")
 _EXTREMA = ("max", "min")
 
+# Dense-HLL geometry for ("approx_distinct", ...): 2^10 registers.
+# xxhash64(value) splits into a 10-bit register index and a 54-bit
+# suffix whose MSB position gives the register rank (computed EXACTLY
+# via length(bin(w)) — integer string ops, no float log). Standard
+# error ~1.04/sqrt(1024) = 3.2%; linear counting keeps small
+# cardinalities near-exact.
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
 
 @dataclass(frozen=True)
 class ViewSpec:
@@ -108,8 +135,10 @@ class ViewSpec:
     @property
     def storage_aggs(self) -> dict[str, tuple]:
         """Declared aggs with each avg expanded to its hidden
-        invertible (sum, non-null count) pair — every kind here is
-        count/sum/max/min, the vocabulary the delta algebra speaks."""
+        invertible (sum, non-null count) pair and each approx_distinct
+        to its hidden HLL register map — every kind here is
+        count/sum/max/min/hll, the vocabulary the delta algebra
+        speaks."""
         out: dict[str, tuple] = {}
         for name, s in self.aggs.items():
             if s[0] == "avg":
@@ -117,18 +146,30 @@ class ViewSpec:
                 out[f"__{name}_cnt"] = (
                     "sum", f"CAST(({s[1]}) IS NOT NULL AS INT)", "long",
                 )
+            elif s[0] == "approx_distinct":
+                out[f"__{name}_hll"] = ("hll", s[1], "map<int,int>")
             else:
                 out[name] = s
         return out
 
     @property
-    def derived(self) -> dict[str, tuple[str, str, str]]:
-        """avg output column -> (hidden sum col, hidden cnt col,
-        out_type); recomputed from the combined hiddens each tick."""
+    def derived(self) -> dict[str, tuple]:
+        """Output column -> recompute recipe for columns derived from
+        hidden companions each tick: ("avg", sum_col, cnt_col, type) or
+        ("hll", sketch_col, type)."""
+        out: dict[str, tuple] = {}
+        for n, s in self.aggs.items():
+            if s[0] == "avg":
+                out[n] = ("avg", f"__{n}_sum", f"__{n}_cnt", s[-1])
+            elif s[0] == "approx_distinct":
+                out[n] = ("hll", f"__{n}_hll", s[-1])
+        return out
+
+    @property
+    def hll_aggs(self) -> dict[str, tuple]:
+        """Hidden sketch column -> ("hll", expr_sql, type)."""
         return {
-            n: (f"__{n}_sum", f"__{n}_cnt", s[-1])
-            for n, s in self.aggs.items()
-            if s[0] == "avg"
+            n: s for n, s in self.storage_aggs.items() if s[0] == "hll"
         }
 
     @property
@@ -163,7 +204,9 @@ class ViewSpec:
                     f"view {self.name}: {name}: the __ prefix is reserved"
                     " for engine companion columns"
                 )
-            if s[0] not in ("count", "sum", "max", "min", "avg"):
+            if s[0] not in (
+                "count", "sum", "max", "min", "avg", "approx_distinct",
+            ):
                 raise ValueError(f"view {self.name}: unknown agg {s[0]!r}")
             want = 2 if s[0] == "count" else 3
             if len(s) != want:
@@ -189,6 +232,111 @@ def create_view_table(
     return LakeTable.create(spark, root, spec.ddl, spec.key, n_buckets)
 
 
+def _hll_bucket_rho(expr_sql: str) -> tuple:
+    """(register index, rank) of one value under the dense-HLL hash
+    split. rank = 1 + leading-zero count of the 54-bit suffix, computed
+    exactly as 55 - length(bin(w)) — bin() is the integer MSB position,
+    no floating-point log involved."""
+    h = F.xxhash64(F.expr(expr_sql))
+    bucket = h.bitwiseAND(F.lit(_HLL_M - 1)).cast("int")
+    w = F.shiftrightunsigned(h, _HLL_P)
+    rho = (
+        F.when(w == 0, F.lit(64 - _HLL_P + 1))
+        .otherwise(F.lit(64 - _HLL_P + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def _hll_sketch_agg(
+    rows: DataFrame, key: list[str], expr_sql: str, out_name: str
+) -> DataFrame:
+    """Per-group dense-HLL register map: two-level aggregation —
+    (key, register) max rank, then registers collected into a map
+    (bounded at 1024 entries per group, so collect_list is safe at any
+    group size). Null values are excluded (SQL distinct semantics)."""
+    bucket, rho = _hll_bucket_rho(expr_sql)
+    per = (
+        rows.filter(F.expr(expr_sql).isNotNull())
+        .select(*key, bucket.alias("__hb"), rho.alias("__hr"))
+        .groupBy(*key, "__hb")
+        .agg(F.max("__hr").alias("__hr"))
+    )
+    return per.groupBy(*key).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__hb"), F.col("__hr")))
+        ).alias(out_name)
+    )
+
+
+def _hll_union(a, b):
+    """Elementwise register max — the EXACT, associative sketch union
+    (missing registers count as 0)."""
+    return F.map_zip_with(
+        a, b,
+        lambda _, v1, v2: F.greatest(
+            F.coalesce(v1, F.lit(0)), F.coalesce(v2, F.lit(0))
+        ),
+    )
+
+
+def _hll_estimate(mcol, out_type: str):
+    """Standard HLL estimator over the register map with linear
+    counting for the small range; a NULL map (no non-null values ever)
+    estimates 0, matching approx_count_distinct."""
+    m = float(_HLL_M)
+    sum_pow = F.aggregate(
+        F.map_values(mcol), F.lit(0.0),
+        lambda acc, v: acc + F.pow(F.lit(2.0), -v),
+    ) + (F.lit(m) - F.size(mcol))  # absent registers contribute 2^0
+    raw = F.lit(_HLL_ALPHA * m * m) / sum_pow
+    v_zeros = F.lit(m) - F.size(mcol)  # stored ranks are always >= 1
+    lin = F.lit(m) * F.log(F.lit(m) / v_zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (v_zeros > 0), lin).otherwise(raw)
+    return (
+        F.when(mcol.isNull(), F.lit(0))
+        .otherwise(F.round(est, 0))
+        .cast(out_type)
+    )
+
+
+def _add_derived(spec: ViewSpec, df: DataFrame) -> DataFrame:
+    """Recompute the visible derived columns (avg, approx_distinct)
+    from their hidden companions."""
+    for name, d in spec.derived.items():
+        if d[0] == "avg":
+            _, sc, cc, t = d
+            df = df.withColumn(
+                name, (F.col(sc) / F.nullif(F.col(cc), F.lit(0))).cast(t)
+            )
+        else:
+            _, mc, t = d
+            df = df.withColumn(name, _hll_estimate(F.col(mc), t))
+    return df
+
+
+def _join_sketches(
+    df: DataFrame, rows: DataFrame, spec: ViewSpec, key: list[str]
+) -> DataFrame:
+    """LEFT-join each hidden HLL register map (its own two-level agg
+    over ``rows``) onto the base aggregate frame, null-safe on the view
+    key (NULL-keyed groups are legitimate)."""
+    from functools import reduce as _reduce
+
+    for name, s in spec.hll_aggs.items():
+        sk = _hll_sketch_agg(rows, key, s[1], name).select(
+            *[F.col(k).alias(f"__sk_{k}") for k in key], name
+        )
+        cond = _reduce(
+            lambda a, b: a & b,
+            [df[k].eqNullSafe(sk[f"__sk_{k}"]) for k in key],
+        )
+        df = df.join(sk, cond, "left").drop(
+            *[f"__sk_{k}" for k in key]
+        )
+    return df
+
+
 def full_compute(spec: ViewSpec, rows: DataFrame) -> DataFrame:
     """The rollup itself, from live upstream rows — the ONE definition
     both the bootstrap/recompute path and the oracle of truth use."""
@@ -204,14 +352,15 @@ def full_compute(spec: ViewSpec, rows: DataFrame) -> DataFrame:
             # algebraic path's add/remove candidates compare in the
             # same domain
             col = F.max(F.expr(s[1]).cast(out_type))
-        else:
+        elif kind == "min":
             col = F.min(F.expr(s[1]).cast(out_type))
+        else:
+            continue  # hll: joined below (two-level agg of its own)
         aggs.append(col.alias(name))
     df = rows.groupBy(*spec.key).agg(*aggs)
-    for name, (sc, cc, t) in spec.derived.items():
-        df = df.withColumn(
-            name, (F.col(sc) / F.nullif(F.col(cc), F.lit(0))).cast(t)
-        )
+    if spec.hll_aggs:
+        df = _join_sketches(df, rows, spec, spec.key)
+    df = _add_derived(spec, df)
     return df.select(*spec.out_cols)
 
 
@@ -269,6 +418,17 @@ def _combined_cols(
                 )
                 .cast(out_type)
             )
+        elif kind == "hll":
+            # registers only grow on insert: union is exact; ANY
+            # removal of a non-null value may shrink the true distinct
+            # set, which a grow-only sketch cannot express -> fallback
+            a_c, r_c = F.col(f"a_{name}"), F.col(f"r_{name}")
+            expr = (
+                F.when(a_c.isNull(), old_c)
+                .when(old_c.isNull(), a_c)
+                .otherwise(_hll_union(old_c, a_c))
+            )
+            ambig = ambig | r_c.isNotNull()
         else:
             a_c, r_c = F.col(f"a_{name}"), F.col(f"r_{name}")
             if kind == "max":
@@ -372,6 +532,14 @@ def refresh_view(
                     F.sum(sgn * F.expr(s[1])).cast(out_type)
                     .alias(f"d_{name}")
                 )
+            elif kind == "hll":
+                # only the removal flag rides the main delta agg; the
+                # addition sketch needs its own two-level agg (below)
+                delta_aggs.append(
+                    F.max(
+                        F.when(pre & F.expr(s[1]).isNotNull(), F.lit(1))
+                    ).alias(f"r_{name}")
+                )
             else:
                 cast = F.expr(s[1]).cast(out_type)
                 ext = F.max if kind == "max" else F.min
@@ -381,13 +549,22 @@ def refresh_view(
                 delta_aggs.append(
                     ext(F.when(pre, cast)).alias(f"r_{name}")
                 )
-        delta = (
-            upstream.read_changes(last_v, up_v, include_preimages=True)
-            .groupBy(*key)
-            .agg(*delta_aggs)
-            .withColumn("__b", bucket_of)
-            .persist()
-        )
+        feed = upstream.read_changes(last_v, up_v, include_preimages=True)
+        delta = feed.groupBy(*key).agg(*delta_aggs)
+        for name, s in spec.hll_aggs.items():
+            sk = _hll_sketch_agg(
+                feed.filter(post), key, s[1], f"a_{name}"
+            ).select(
+                *[F.col(k).alias(f"__sk_{k}") for k in key], f"a_{name}"
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [delta[k].eqNullSafe(sk[f"__sk_{k}"]) for k in key],
+            )
+            delta = delta.join(sk, cond, "left").drop(
+                *[f"__sk_{k}" for k in key]
+            )
+        delta = delta.withColumn("__b", bucket_of).persist()
         to_unpersist.append(delta)
         small = delta.count() <= BROADCAST_KEYS_MAX
         affected = sorted(
@@ -431,11 +608,9 @@ def refresh_view(
             .persist()
         )
         to_unpersist.append(j)
-        clean = j.filter(~F.col("__ambig")).drop("__ambig")
-        for name, (sc, cc, t) in spec.derived.items():
-            clean = clean.withColumn(
-                name, (F.col(sc) / F.nullif(F.col(cc), F.lit(0))).cast(t)
-            )
+        clean = _add_derived(
+            spec, j.filter(~F.col("__ambig")).drop("__ambig")
+        )
         summaries = clean.select(*spec.out_cols)
         fb_keys = j.filter(F.col("__ambig")).select(*key)
         n_fallback = fb_keys.count()

@@ -52,6 +52,11 @@ def main() -> None:
     tgt.add_argument("--catalog")
     p.add_argument("--compact-deltas", type=int, default=None, metavar="K")
     p.add_argument("--compact-files", type=int, default=None, metavar="K")
+    p.add_argument("--compact-records-per-file", type=int, default=None,
+                   metavar="N",
+                   help="with --compact-files: split each bucket's "
+                        "key-sorted stream into key-disjoint files of "
+                        "<=N records (enables key-range file skipping)")
     p.add_argument("--compact-tombstones", type=int, default=None,
                    metavar="HORIZON_LSN")
     p.add_argument("--rescale", type=int, default=None, metavar="N_BUCKETS")
@@ -86,7 +91,8 @@ def main() -> None:
             )
         if args.compact_files is not None:
             out["compact_files"] = lake.compact_files(
-                args.compact_files, batch_id=f"maint-cf-{run_id}"
+                args.compact_files, batch_id=f"maint-cf-{run_id}",
+                max_records_per_file=args.compact_records_per_file,
             )
         if args.compact_tombstones is not None:
             out["compact_tombstones"] = lake.compact_bucket_tombstones(

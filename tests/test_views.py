@@ -382,3 +382,125 @@ def test_large_tick_never_collects_group_rows(spark, tmp_path, monkeypatch):
     assert got.exceptAll(want).isEmpty()
     assert want.exceptAll(got).isEmpty()
     assert got.count() == n
+
+
+AD_SPEC = ViewSpec(
+    "role_ad",
+    "role string",
+    {
+        "n_turns": ("count", "long"),
+        "n_convs": ("approx_distinct", "conv_id", "long"),
+    },
+)
+
+
+def _ad_state(table):
+    return {
+        r.role: (r.n_turns, r.n_convs)
+        for r in table.read(user_cols=True)
+        .select("role", "n_turns", "n_convs").collect()
+    }
+
+
+def _ad_full(up):
+    return {
+        r.role: (r.n_turns, r.n_convs)
+        for r in full_compute(AD_SPEC, up.read(user_cols=True))
+        .select("role", "n_turns", "n_convs").collect()
+    }
+
+
+def test_approx_distinct_view_maintenance(spark, tmp_path):
+    """("approx_distinct", expr, type): the engine's dense-HLL sketch.
+    The register-map union is exact and representation-stable, so
+    maintained state equals full recompute EXACTLY (the no-drift
+    invariant survives approximation); small cardinalities estimate
+    near-exact via linear counting; any removal of a non-null value
+    falls back to recomputing that group."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    down = create_view_table(
+        spark, str(tmp_path / "ad"), AD_SPEC, n_buckets=2
+    )
+    apply_batch(up, _ev(spark, [
+        (0, "I", "c0", 0, "user", "a"),
+        (1, "I", "c1", 0, "user", "b"),
+        (2, "I", "c2", 0, "user", "c"),
+        (3, "I", "c0", 1, "user", "d"),     # same conv again
+        (4, "I", "c9", 0, "assistant", "e"),
+    ]), "b0", lsn_range_hint=(0, 4))
+    assert refresh_view(up, down, AD_SPEC)["applied"]
+    st = _ad_state(down)
+    assert st == _ad_full(up)
+    assert st["user"] == (4, 3) and st["assistant"] == (1, 1)
+
+    # pure inserts: sketch union only, no fallback, still == recompute
+    apply_batch(up, _ev(spark, [
+        (10, "I", "c3", 0, "user", "f"),
+        (11, "I", "c4", 0, "user", "g"),
+    ]), "b1", lsn_range_hint=(10, 11))
+    r = refresh_view(up, down, AD_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 0, r
+    st = _ad_state(down)
+    assert st == _ad_full(up)
+    assert st["user"] == (6, 5)
+
+    # key-moving update: assistant's only row leaves -> the group dies
+    # at the count-liveness filter BEFORE any sketch ambiguity (no
+    # fallback needed); user's side is a pure addition (union)
+    apply_batch(up, _ev(spark, [
+        (20, "U", "c9", 0, "user", "moved"),  # assistant -> user
+    ]), "b2", lsn_range_hint=(20, 20))
+    r = refresh_view(up, down, AD_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 0, r
+    st = _ad_state(down)
+    assert st == _ad_full(up)
+    assert ("assistant" not in st) and st["user"] == (7, 6)
+
+    # same-group update: the preimage removes a non-null conv_id from a
+    # SURVIVING group — grow-only registers cannot express removal ->
+    # that group falls back to recompute
+    apply_batch(up, _ev(spark, [
+        (25, "U", "c1", 0, "user", "edited"),
+    ]), "b2b", lsn_range_hint=(25, 25))
+    r = refresh_view(up, down, AD_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 1, r
+    st = _ad_state(down)
+    assert st == _ad_full(up)
+    assert st["user"] == (7, 6)
+
+    # delete: fallback, group keeps counting the surviving conv rows
+    apply_batch(up, _ev(spark, [
+        (30, "D", "c0", 1, None, None),
+    ]), "b3", lsn_range_hint=(30, 30))
+    r = refresh_view(up, down, AD_SPEC)
+    assert r["applied"] and r["fallback_groups"] == 1, r
+    assert _ad_state(down) == _ad_full(up)
+
+
+def test_approx_distinct_estimate_accuracy(spark, tmp_path):
+    """500 distinct values in one group: the 1024-register sketch with
+    linear counting estimates within a few percent, and the maintained
+    estimate is IDENTICAL to the full recompute's (exact union)."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    down = create_view_table(
+        spark, str(tmp_path / "ad"), AD_SPEC, n_buckets=2
+    )
+    ev = spark.range(500).select(
+        F.col("id").alias("lsn"), F.lit("I").alias("op"),
+        F.concat(F.lit("conv"), F.col("id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    apply_batch(up, ev, "big", lsn_range_hint=(0, 499))
+    assert refresh_view(up, down, AD_SPEC)["applied"]
+    st = _ad_state(down)
+    assert st == _ad_full(up)
+    est = st["user"][1]
+    assert abs(est - 500) <= 50, est  # within 10% (typically ~2%)
