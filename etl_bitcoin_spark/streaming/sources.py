@@ -63,6 +63,7 @@ class RateSourceTailer:
         checkpoint_dir: str,
         rows_per_batch: int = 50_000,
         seed: int = 42,
+        merge_on_read: bool = False,
         **gen_kw: Any,
     ):
         self.spark = spark
@@ -70,6 +71,10 @@ class RateSourceTailer:
         self.checkpoint_dir = checkpoint_dir
         self.rows_per_batch = rows_per_batch
         self.seed = seed
+        # latency-mode parity with BinlogTailer: delta appends instead
+        # of per-batch bucket rewrites (compaction stays a maintenance
+        # action — scripts/maintain_job.py — on this pull-based path)
+        self.merge_on_read = merge_on_read
         self.gen_kw = gen_kw
         import hashlib
 
@@ -83,6 +88,7 @@ class RateSourceTailer:
             batch_df,
             f"rate-{self.ns}-{batch_id}",
             already_applied_filter=guard,
+            merge_mode="read" if self.merge_on_read else "write",
         )
         self.batch_results.append(res)
 

@@ -118,11 +118,10 @@ def _load_json_cached(path: str) -> dict:
     return obj
 
 
-def ddl_col_names(ddl: str) -> list[str]:
-    """Column names from a DDL column list, splitting on TOP-LEVEL
-    commas only: types like ``decimal(10,2)`` or ``map<string,int>``
-    contain commas and spaces that a naive ``split(',')`` would turn
-    into bogus column names."""
+def ddl_split(ddl: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only (types like
+    ``decimal(10,2)`` or ``map<string,int>`` contain commas), returning
+    the trimmed ``"name type"`` parts."""
     parts: list[str] = []
     depth, cur = 0, []
     for ch in ddl:
@@ -137,7 +136,12 @@ def ddl_col_names(ddl: str) -> list[str]:
             cur.append(ch)
     if "".join(cur).strip():
         parts.append("".join(cur))
-    return [p.strip().split(" ", 1)[0].strip() for p in parts]
+    return [p.strip() for p in parts]
+
+
+def ddl_col_names(ddl: str) -> list[str]:
+    """Column names from a DDL column list (top-level-comma aware)."""
+    return [p.split(" ", 1)[0].strip() for p in ddl_split(ddl)]
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -944,6 +948,16 @@ class LakeTable:
             prev = self.snapshot()
             if self._batch_applied(prev, batch_id):
                 return False
+            revived = set(ddl_col_names(new_ddl)) & set(
+                prev.get("dropped_cols", [])
+            )
+            if revived:
+                raise ValueError(
+                    f"column(s) {sorted(revived)} were dropped and stay "
+                    "tombstoned: old data files still carry their bytes, "
+                    "which would resurrect under the re-added name "
+                    "(no per-file field IDs)"
+                )
             m = dict(prev)
             m["version"] = prev["version"] + 1
             m["parent"] = prev["version"]
@@ -957,6 +971,68 @@ class LakeTable:
                 self._mark_batch_applied(batch_id)
                 return True
         raise CommitConflict(f"lost 8 CAS races evolving schema ({batch_id})")
+
+    def drop_column(self, col: str, batch_id: str) -> bool:
+        """Metadata-only column DROP — the non-additive half of schema
+        evolution. The column vanishes from the snapshot DDL, so reads
+        stop projecting it immediately; data files keep the bytes until
+        their bucket is next rewritten (merge/compaction), exactly the
+        Iceberg drop semantics. Time travel to pre-drop versions still
+        shows the column.
+
+        Constraints: key columns cannot drop (bucket layout and merge
+        identity hang off them), and a dropped NAME stays tombstoned —
+        re-adding it via evolve_schema is rejected, because without
+        per-file field IDs the old files' surviving bytes would
+        resurrect under the readded name. (For the transcripts pipeline
+        specifically, the merge operators require their declared value
+        columns; drop_column is the generic lake-table surface.)"""
+        for _attempt in range(8):
+            prev = self.snapshot()
+            if self._batch_applied(prev, batch_id):
+                return False
+            if col in prev["key_cols"]:
+                raise ValueError(f"cannot drop key column {col!r}")
+            parts = ddl_split(prev["schema_ddl"])
+            keep = [p for p in parts if p.split(" ", 1)[0] != col]
+            if len(keep) == len(parts):
+                raise ValueError(f"no such column {col!r}")
+            m2 = dict(prev)
+            m2["version"] = prev["version"] + 1
+            m2["parent"] = prev["version"]
+            m2["schema_ddl"] = ", ".join(keep)
+            m2["dropped_cols"] = sorted(
+                set(prev.get("dropped_cols", [])) | {col}
+            )
+            m2["batch_id"] = batch_id
+            m2["applied_batch_ids"] = (
+                prev["applied_batch_ids"] + [batch_id]
+            )[-MAX_APPLIED_BATCH_IDS:]
+            m2["committed_at"] = time.time()
+            if self._claim_version(m2):
+                self._mark_batch_applied(batch_id)
+                return True
+        raise CommitConflict(f"lost 8 CAS races dropping {col} ({batch_id})")
+
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame (version, parent, batch_id,
+        committed_at, metrics JSON) over the retained snapshots — the
+        observability face of the manifest chain (Delta's DESCRIBE
+        HISTORY analog). Bounded by snapshot retention, so the driver
+        walk is O(retained versions), never O(all commits ever)."""
+        rows = []
+        for v in self.versions():
+            m = self.snapshot(v)
+            rows.append((
+                v, m.get("parent"), m.get("batch_id"),
+                float(m.get("committed_at") or 0.0),
+                json.dumps(m.get("metrics") or {}),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, batch_id string, "
+            "committed_at double, metrics string",
+        )
 
     def rescale_buckets(
         self, new_n_buckets: int, batch_id: str

@@ -745,3 +745,41 @@ def test_key_range_file_skipping(spark, tmp_lake_dir):
     assert vals == {
         "conv_050": "t50", "conv_051": "updated", "conv_052": "t52",
     }
+
+
+def test_drop_column_and_history(spark, tmp_lake_dir):
+    """Non-additive evolution: drop_column removes the column from the
+    read projection metadata-only (old file bytes untouched), time
+    travel still shows it, key columns and name resurrection are
+    rejected, and history() exposes the commit chain as a DataFrame."""
+    import pytest
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    rows = [
+        ("c1", 0, "user", "hi", "search", "2024-01-01 00:00:00", 1),
+        ("c2", 0, "user", "yo", None, "2024-01-01 00:00:01", 2),
+    ]
+    lake.commit(_with_bucket(lake, _mk(spark, rows)), [0, 1], "b1", (1, 2))
+    v_before = lake.snapshot()["version"]
+
+    assert lake.drop_column("tool", "drop-tool")
+    assert not lake.drop_column("tool", "drop-tool")  # idempotent replay
+    cols = lake.read(user_cols=True).columns
+    assert "tool" not in cols and "text" in cols
+    # data unaffected; time travel shows the dropped column
+    assert lake.read(user_cols=True).count() == 2
+    old = lake.read(version=v_before, user_cols=True)
+    assert "tool" in old.columns
+    assert {r.tool for r in old.collect()} == {"search", None}
+
+    with pytest.raises(ValueError, match="key column"):
+        lake.drop_column("conv_id", "drop-key")
+    with pytest.raises(ValueError, match="no such column"):
+        lake.drop_column("nope", "drop-nope")
+    # resurrection is tombstoned: the old files still carry tool bytes
+    with pytest.raises(ValueError, match="tombstoned"):
+        lake.evolve_schema(TRANSCRIPTS_DDL, "re-add-tool")
+
+    h = {r.version: r.batch_id for r in lake.history().collect()}
+    assert h[lake.snapshot()["version"]] == "drop-tool"
+    assert len(h) == len(lake.versions())
