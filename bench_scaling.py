@@ -159,19 +159,20 @@ def _ladder_derived(lad: dict, factor: int, cap: dict, lo_procs: int,
     )
 
 
-def topup(level: str, extra: int) -> None:
-    """Append ``extra`` runs to the executor ladder's low/high level in
-    the EXISTING BENCH/scaling.json (quiet-window evidence top-up: more
+def topup(level: str, extra: int, ladder: int = 0) -> None:
+    """Append ``extra`` runs to a ladder's low/high level in the
+    EXISTING BENCH/scaling.json (quiet-window evidence top-up: more
     repeats tighten the best-of-N and make the median meaningful —
     pre-empting any single-lucky-run concern). Recomputes both
-    statistics and rewrites json+md."""
+    statistics and rewrites json+md. ``ladder``: 0 = executor ladder,
+    1 = thread ladder."""
     import statistics
 
     path = os.path.join(REPO, "BENCH", "scaling.json")
     with open(path) as f:
         report = json.load(f)
-    lad_cfg = LADDERS[0]
-    lad = report["ladders"][0]
+    lad_cfg = LADDERS[ladder]
+    lad = report["ladders"][ladder]
     idx = 0 if level == "low" else 1
     master, cpus, mem = lad_cfg["levels"][idx]
     ev = lad_cfg.get("events", EVENTS)
@@ -218,6 +219,11 @@ def topup(level: str, extra: int) -> None:
             ),
         }
     lo_procs, hi_procs = lad_cfg["levels"][0][1], lad_cfg["levels"][1][1]
+    lad["low"].setdefault(
+        "median_events_per_sec",
+        round(statistics.median(lad["low"]["all_events_per_sec"]), 1),
+    )
+    lad["low"].setdefault("n_runs", len(lad["low"]["all_events_per_sec"]))
     _ladder_derived(lad, lad_cfg["factor"], report["hardware_capacity"],
                     lo_procs, hi_procs)
     hq = (lad["high"].get("quiet") or {}).get("median_events_per_sec_quiet")
@@ -227,8 +233,10 @@ def topup(level: str, extra: int) -> None:
         lad["quiet_median_ceiling_normalized"] = round(
             lad["quiet_median_efficiency"] / lad["hw_ceiling_efficiency"], 3
         )
-    # thread ladder: derive medians from its raw runs too if present
-    for j, other_lad in enumerate(report["ladders"][1:], start=1):
+    # derive medians for every OTHER ladder too
+    for j, other_lad in enumerate(report["ladders"]):
+        if j == ladder:
+            continue
         cfg = LADDERS[j] if j < len(LADDERS) else None
         if cfg is None:
             continue
@@ -430,8 +438,9 @@ if __name__ == "__main__":
     # executor-ladder evidence instead of starting fresh.
     spec = os.environ.get("SCALING_TOPUP")
     if spec:
+        lad = int(os.environ.get("SCALING_TOPUP_LADDER", "0"))
         for part in spec.split(","):
             level, extra = part.split(":")
-            topup(level.strip(), int(extra))
+            topup(level.strip(), int(extra), ladder=lad)
     else:
         main()
