@@ -154,6 +154,24 @@ def write_segments(df: pd.DataFrame, out_dir: str) -> list[str]:
         v1 = not bool(g["evolved"].any())
         g = g[[c for c in cols if not (v1 and c == "tool")]]
         tbl = pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False)
+        # A segment whose column is ALL null (e.g. no event in the
+        # segment carries a tool, or a pure-delete segment) infers the
+        # pyarrow NULL type, which parquet stores as INT32 — an
+        # unreadable WAL under the typed reader schema. Pin null-typed
+        # columns to their contract types (what any real WAL producer's
+        # fixed schema would do).
+        want = {
+            "lsn": pa.int64(), "op": pa.string(), "conv_id": pa.string(),
+            "turn_idx": pa.int32(), "role": pa.string(),
+            "text": pa.string(), "tool": pa.string(),
+            "ts": pa.timestamp("us"),
+        }
+        for i, f in enumerate(tbl.schema):
+            if pa.types.is_null(f.type) and f.name in want:
+                tbl = tbl.set_column(
+                    i, pa.field(f.name, want[f.name]),
+                    tbl.column(i).cast(want[f.name]),
+                )
         p = os.path.join(out_dir, f"seg-{int(s):05d}.parquet")
         pq.write_table(tbl, p)
         # WAL delivery contract: segment files carry strictly increasing

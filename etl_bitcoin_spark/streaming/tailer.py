@@ -51,6 +51,7 @@ class BinlogTailer:
         compact_max_deltas: int | None = 8,
         merge_strategy: str = "window",
         compact_policy: str = "inline",
+        views: list | None = None,
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -82,6 +83,12 @@ class BinlogTailer:
         if compact_policy not in ("inline", "async"):
             raise ValueError(f"unknown compact_policy {compact_policy!r}")
         self.compact_policy = compact_policy
+        # Live maintained rollups riding the CDC stream: each entry is
+        # (downstream LakeTable, ViewSpec[, mode]); after every applied
+        # micro-batch the relay ticks each view (operators.views
+        # algebra — changed-groups-only, exactly-once via the relay
+        # cursor, so a crash-replayed trigger re-ticks as a no-op).
+        self.views = list(views or [])
         self._maint = None  # lazy single-thread executor (async policy)
         self._maint_fut = None
         # "window" (default), "agg" (the update-storm strategy), or
@@ -230,6 +237,16 @@ class BinlogTailer:
                     res = dict(
                         res, compacted_buckets=c["buckets_compacted"]
                     )
+        if res.get("applied") and self.views:
+            from ..operators.views import refresh_view
+
+            ticked = []
+            for entry in self.views:
+                down, spec = entry[0], entry[1]
+                mode = entry[2] if len(entry) > 2 else "algebraic"
+                r = refresh_view(self.lake, down, spec, mode=mode)
+                ticked.append({"view": spec.name, **r})
+            res = dict(res, views=ticked)
         self.batch_results.append(res)
 
     def _compact_once(self, batch_id: str) -> dict[str, Any]:

@@ -104,3 +104,34 @@ def test_spark_generator_determinism(spark):
     a = spark_binlog(spark, 2000, seed=5).orderBy("lsn").toPandas()
     b = spark_binlog(spark, 2000, seed=5).orderBy("lsn").toPandas()
     assert a.equals(b)
+
+
+def test_all_null_column_segment_stays_readable(spark, tmp_path):
+    """A segment whose tool (or any) column is entirely null must still
+    write with its CONTRACT type: pyarrow would otherwise infer the
+    NULL type (parquet INT32) and the typed streaming reader fails hard
+    with a column type mismatch instead of backfilling."""
+    import pandas as pd
+
+    from etl_bitcoin_spark.gen import write_segments
+    from etl_bitcoin_spark.operators.merge import BINLOG_DDL
+
+    pdf = pd.DataFrame({
+        "lsn": [0, 1, 2],
+        "op": ["I", "I", "U"],
+        "conv_id": ["a", "b", "a"],
+        "turn_idx": pd.array([0, 0, 0], dtype="int32"),
+        "role": ["user"] * 3,
+        "text": ["x", "y", "z"],
+        "tool": pd.array([None, None, None], dtype=object),  # ALL null
+        "ts": pd.to_datetime(["2024-01-01"] * 3).astype("datetime64[us]"),
+        "seg": [0, 0, 0],
+        "evolved": [True, True, True],  # v2 schema: tool column present
+    })
+    write_segments(pdf, str(tmp_path / "wal"))
+    got = (
+        spark.read.schema(BINLOG_DDL)
+        .parquet(str(tmp_path / "wal"))
+        .collect()
+    )
+    assert len(got) == 3 and all(r.tool is None for r in got)

@@ -435,3 +435,47 @@ def test_stream_merge_on_read_async_compaction(spark, tmp_path, binlog_pdf):
     ).run_available()
     assert sum(r.get("events", 0) for r in r2) == 0
     _check(lake, binlog_pdf)
+
+
+def test_stream_with_live_view_relay(spark, tmp_path, binlog_pdf):
+    """views=[(table, spec)] on the tailer: maintained rollups tick
+    after every applied micro-batch, and at drain end each equals a
+    from-scratch recompute of the converged lake — the full
+    CDC-to-materialized-view pipeline in one streaming run."""
+    from etl_bitcoin_spark.operators.views import (
+        ViewSpec, create_view_table, full_compute,
+    )
+
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    spec = ViewSpec(
+        "live_roles",
+        "role string",
+        {
+            "n_turns": ("count", "long"),
+            "n_convs": ("approx_distinct", "conv_id", "long"),
+            "total_chars": ("sum", "length(coalesce(text, ''))", "long"),
+        },
+    )
+    down = create_view_table(spark, str(tmp_path / "roles"), spec, 2)
+    tailer = BinlogTailer(
+        spark, wal, lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, views=[(down, spec)],
+    )
+    results = tailer.run_available()
+    assert sum(r.get("events", 0) for r in results) == 600
+    assert all(
+        v["applied"] for r in results for v in r.get("views", [])
+    ), results
+    _check(lake, binlog_pdf)
+    got = down.read(user_cols=True).select(
+        "role", "n_turns", "n_convs", "total_chars"
+    )
+    want = full_compute(spec, lake.read(user_cols=True)).select(
+        "role", "n_turns", "n_convs", "total_chars"
+    )
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
