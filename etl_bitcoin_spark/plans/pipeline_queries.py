@@ -639,42 +639,38 @@ def q_text_doc_profile(spark, sf_dir):
     """Composite per-document text-analysis gate (registry budget,
     round-4: one slot covers token counting, quality scoring, lang-id,
     fingerprinting, and the multimodal byte plumbing — the five
-    operators remain individually callable above). ONE explode-agg pass
-    computes the word-level stats; everything else is row-local builtin
-    expressions joined back on doc_id."""
+    operators remain individually callable above). Everything is
+    row-local builtin array/string expressions — NO explode, NO
+    shuffle, NO join: at 100 TB this is a single narrow scan-project
+    stage (the former explode+groupBy formulation shuffled one row per
+    TOKEN)."""
     d = _docs(spark, sf_dir)
-    words = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
-    stop = F.when(F.col("w").isin(STOPWORDS), 1).otherwise(0)
-    agg = words.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        F.sum(stop).alias("n_stop"),
-        F.sum(F.when(F.col("w") == "the", 1).otherwise(0)).alias("n_the"),
-    )
-    base = d.select(
-        "doc_id", "lang", "n_chars",
+    stop_arr = ", ".join(repr(s) for s in STOPWORDS)
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.size(
+        F.expr(f"filter(split(text, ' '), w -> w IN ({stop_arr}))")
+    ).cast("long")
+    n_the = F.size(F.expr("filter(split(text, ' '), w -> w = 'the')"))
+    pred = F.when(n_the * 20 > n_tok, F.lit("en")).otherwise(F.lit("und"))
+    return d.select(
+        "doc_id",
         (
             F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
         ).alias("ws_tokens"),
         F.size(
             F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
         ).alias("re_tokens"),
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop / n_tok, 6).alias("stop_ratio"),
+        F.round(F.col("n_chars") / n_tok, 6).alias("chars_per_tok"),
+        "lang",
+        pred.alias("pred"),
         F.expr(H64_SPARK.format(col="text")).alias("fp"),
         F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias(
             "magic"
         ),
-    )
-    j = base.join(agg, "doc_id")
-    pred = F.when(
-        F.col("n_the") * 20 > F.col("n_tok"), F.lit("en")
-    ).otherwise(F.lit("und"))
-    return j.select(
-        "doc_id", "ws_tokens", "re_tokens", "n_tok", "n_stop",
-        F.round(F.col("n_stop") / F.col("n_tok"), 6).alias("stop_ratio"),
-        F.round(F.col("n_chars") / F.col("n_tok"), 6).alias("chars_per_tok"),
-        "lang", pred.alias("pred"), "fp", "n_bytes", "magic",
     )
 
 
