@@ -51,6 +51,7 @@ class BinlogTailer:
         compact_max_deltas: int | None = 8,
         merge_strategy: str = "window",
         compact_policy: str = "inline",
+        compact_max_buckets: int | None = None,
         views: list | None = None,
     ):
         self.spark = spark
@@ -83,6 +84,10 @@ class BinlogTailer:
         if compact_policy not in ("inline", "async"):
             raise ValueError(f"unknown compact_policy {compact_policy!r}")
         self.compact_policy = compact_policy
+        # async nibble size: each background pass rewrites at most this
+        # many (worst-first) victim buckets, keeping the contention
+        # window with live triggers short; None = all victims per pass
+        self.compact_max_buckets = compact_max_buckets
         # Live maintained rollups riding the CDC stream: each entry is
         # (downstream LakeTable, ViewSpec[, mode]); after every applied
         # micro-batch the relay ticks each view (operators.views
@@ -178,7 +183,18 @@ class BinlogTailer:
             self._maint_fut.result()
             self._maint_fut = None
             if self.compact_max_deltas is not None:
-                self._compact_once(f"compact-{self.ns}-final")
+                # the stop-time pass ignores the nibble cap: the table
+                # must meet the read-amp policy bound at stream stop,
+                # not merely converge toward it
+                from ..tableformat.lake import CommitConflict
+
+                try:
+                    self.lake.compact_deltas(
+                        self.compact_max_deltas,
+                        batch_id=f"compact-{self.ns}-final",
+                    )
+                except CommitConflict:
+                    pass
 
     # -------------------------------------------------------------- run
     def _apply(self, batch_df, batch_id: int) -> None:
@@ -253,9 +269,19 @@ class BinlogTailer:
         from ..tableformat.lake import CommitConflict
 
         try:
-            return self.lake.compact_deltas(
-                self.compact_max_deltas, batch_id=batch_id
-            )
+            # maintenance jobs run in their own scheduler pool: under
+            # spark.scheduler.mode=FAIR the live trigger's jobs get an
+            # equal share instead of FIFO leftovers while a compaction
+            # rewrite is in flight (a no-op under default FIFO mode)
+            sc = self.spark.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", "maintenance")
+            try:
+                return self.lake.compact_deltas(
+                    self.compact_max_deltas, batch_id=batch_id,
+                    max_buckets=self.compact_max_buckets,
+                )
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
         except CommitConflict:
             return {"applied": False}
 

@@ -1351,6 +1351,7 @@ class LakeTable:
         self,
         max_deltas_per_bucket: int = 8,
         batch_id: str | None = None,
+        max_buckets: int | None = None,
     ) -> dict[str, Any]:
         """Fold merge-on-read delta files back into the base for every
         bucket whose delta count exceeds the policy — bounding read
@@ -1370,6 +1371,25 @@ class LakeTable:
                     victims.append(int(b))
         if not victims:
             return {"buckets_compacted": 0, "applied": False}
+        if max_buckets is not None and len(victims) > max_buckets:
+            # Nibble mode: rewrite only the WORST max_buckets victims
+            # this pass (most deltas first). Bounds each maintenance
+            # pass's rewrite volume so a background compactor racing a
+            # live stream contends briefly and often instead of rarely
+            # and catastrophically; remaining victims are the next
+            # pass's problem. Read amplification still converges to the
+            # policy bound — victims only stop being victims by being
+            # compacted.
+            by_deltas = {}
+            for gid, g in m["groups"].items():
+                if g["delta_rows"] <= 0:
+                    continue
+                for b, ptr in self._load_gm(m, gid).items():
+                    if int(b) in set(victims):
+                        by_deltas[int(b)] = ptr["n_deltas"]
+            victims = sorted(
+                victims, key=lambda b: -by_deltas.get(b, 0)
+            )[:max_buckets]
         content = (
             self.read(version=m["version"], buckets=victims)
             # bucket-value partitioning -> ONE file per compacted

@@ -37,6 +37,7 @@ from etl_bitcoin_spark.session import get_spark  # noqa: E402
 N_EVENTS = int(os.environ.get("LAT_EVENTS", "2000000"))
 FILES_PER_TRIGGER = int(os.environ.get("LAT_FILES_PER_TRIGGER", "2"))
 COMPACT_MAX_DELTAS = int(os.environ.get("LAT_COMPACT_MAX_DELTAS", "8"))
+COMPACT_MAX_BUCKETS = int(os.environ.get("LAT_COMPACT_MAX_BUCKETS", "16"))
 
 
 def pct(xs, q):
@@ -64,6 +65,12 @@ def run_mode(spark, wal: str, merge_on_read: bool,
             merge_on_read=merge_on_read,
             compact_max_deltas=COMPACT_MAX_DELTAS if merge_on_read else None,
             compact_policy=compact_policy,
+            # async nibbles: short rewrite passes (worst 16 of 64
+            # buckets each) keep the background compactor's contention
+            # window with live triggers brief
+            compact_max_buckets=(
+                COMPACT_MAX_BUCKETS if compact_policy == "async" else None
+            ),
         )
         out = tailer.run_processing_time(
             interval="500 milliseconds",
@@ -145,7 +152,12 @@ def main() -> None:
     spark = get_spark(
         "bench-latency",
         cores=min(int(os.environ.get("SPARK_GRAFT_CPUS", "8")), 8),
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            # FAIR pools: live-trigger jobs share slots with background
+            # maintenance jobs instead of queueing behind them
+            "spark.scheduler.mode": "FAIR",
+        },
     )
     wal = _wal_dir(N_EVENTS, spark)
     reports = {}

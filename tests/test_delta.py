@@ -194,3 +194,63 @@ def test_bulk_stream_write_apply_is_one_spark_job(spark, tmp_path, binlog_pdf):
     assert r["applied"] and r["events"] > 0
     jobs = sc.statusTracker().getJobIdsForGroup("bulk-one-job")
     assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}: {jobs}"
+
+
+def test_compact_deltas_nibble_mode(spark, tmp_path):
+    """max_buckets bounds each compaction pass to the worst-K victim
+    buckets; repeated passes converge every bucket under the policy,
+    and state is unchanged throughout."""
+    from etl_bitcoin_spark.operators.merge import (
+        KEY_COLS, TRANSCRIPTS_DDL, apply_batch,
+    )
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    from datetime import datetime
+
+    def ev(lsn, conv):
+        return spark.createDataFrame(
+            [(lsn, "I", conv, 0, "user", f"t{lsn}", None,
+              datetime(2024, 1, 1))],
+            "lsn long, op string, conv_id string, turn_idx int,"
+            " role string, text string, tool string, ts timestamp",
+        )
+
+    # 3 delta commits per key -> every touched bucket carries 3 deltas
+    for i in range(12):
+        apply_batch(lake, ev(i, f"c{i % 4}"), f"d{i}", merge_mode="read")
+    before = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in lake.read(user_cols=True).collect()
+    )
+    over = [
+        int(b) for b, e in lake.bucket_entries().items()
+        if len(e["deltas"]) > 1
+    ]
+    assert len(over) >= 2  # multiple victims to nibble through
+    r1 = lake.compact_deltas(max_deltas_per_bucket=1, batch_id="n1",
+                             max_buckets=1)
+    assert r1["applied"] and r1["buckets_compacted"] == 1
+    # still-over buckets remain for the next pass
+    still = [
+        int(b) for b, e in lake.bucket_entries().items()
+        if len(e["deltas"]) > 1
+    ]
+    assert len(still) == len(over) - 1
+    passes = 1
+    while still:
+        r = lake.compact_deltas(max_deltas_per_bucket=1,
+                                batch_id=f"n{passes + 1}", max_buckets=1)
+        assert r["applied"] and r["buckets_compacted"] == 1
+        passes += 1
+        still = [
+            int(b) for b, e in lake.bucket_entries().items()
+            if len(e["deltas"]) > 1
+        ]
+    after = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in lake.read(user_cols=True).collect()
+    )
+    assert after == before
