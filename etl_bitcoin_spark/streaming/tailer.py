@@ -260,7 +260,18 @@ class BinlogTailer:
             for entry in self.views:
                 down, spec = entry[0], entry[1]
                 mode = entry[2] if len(entry) > 2 else "algebraic"
-                r = refresh_view(self.lake, down, spec, mode=mode)
+                # same retry contract as the merge above: a maintenance
+                # commit racing the downstream table (view compaction,
+                # expiry) costs a recompute from the fresh snapshot,
+                # never the stream — the relay cursor keeps the re-tick
+                # exactly-once
+                for attempt in range(3):
+                    try:
+                        r = refresh_view(self.lake, down, spec, mode=mode)
+                        break
+                    except CommitConflict:
+                        if attempt == 2:
+                            raise
                 ticked.append({"view": spec.name, **r})
             res = dict(res, views=ticked)
         self.batch_results.append(res)
