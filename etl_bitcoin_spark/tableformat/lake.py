@@ -320,6 +320,45 @@ class LakeTable:
             os.path.join(self.manifest_dir, self._vname(version))
         )
 
+    # ------------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot version (Iceberg tag/ref analog): tagged
+        versions survive ``expire_snapshots`` automatically, so a tag
+        is a durable, human-addressable time-travel anchor ("audit",
+        "pre-migration", a training-set cut). One file per tag under
+        ``_manifests/tags/`` — atomic create/overwrite, no shared
+        mutable map to race on. Returns the pinned version."""
+        if not name or any(ch in name for ch in "/\\\x00") or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.snapshot()["version"] if version is None else int(version)
+        if v not in self.versions():
+            raise ValueError(f"no snapshot version {v}")
+        d = os.path.join(self.manifest_dir, "tags")
+        os.makedirs(d, exist_ok=True)
+        _atomic_write(os.path.join(d, name), json.dumps({"version": v}))
+        return v
+
+    def untag(self, name: str) -> bool:
+        p = os.path.join(self.manifest_dir, "tags", name)
+        try:
+            os.remove(p)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.manifest_dir, "tags")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in os.listdir(d):
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    out[fn] = int(json.load(f)["version"])
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
     def versions(self) -> list[int]:
         out = []
         for n in os.listdir(self.manifest_dir):
@@ -425,6 +464,7 @@ class LakeTable:
         resolve_deltas: bool = True,
         lsn_range: tuple[int | None, int | None] | None = None,
         key_range: tuple[str | None, str | None] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``buckets`` prunes to those buckets only —
         the MERGE's partition-pruning fast path (only touched buckets are
@@ -457,6 +497,13 @@ class LakeTable:
         instead of the whole bucket — at 100 TB that is the difference
         between one task and thousands. Requires a non-null first key
         column (the table-key contract)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            try:
+                version = self.tags()[tag]
+            except KeyError:
+                raise ValueError(f"unknown tag {tag!r}") from None
         m = self.snapshot(version)
         entries = self.bucket_entries(version=m["version"], buckets=buckets)
         if lsn_range is not None:
@@ -1228,6 +1275,8 @@ class LakeTable:
         keep = set(versions[-keep_last:]) | {
             v for v in (pinned_versions or set()) if v in versions
         }
+        # tagged snapshots are durable anchors: always retained
+        keep |= {v for v in self.tags().values() if v in versions}
         live_files: set[str] = set()
         live_nodes: set[str] = set()
         for v in keep:

@@ -783,3 +783,40 @@ def test_drop_column_and_history(spark, tmp_lake_dir):
     h = {r.version: r.batch_id for r in lake.history().collect()}
     assert h[lake.snapshot()["version"]] == "drop-tool"
     assert len(h) == len(lake.versions())
+
+
+def test_snapshot_tags_pin_through_expiry(spark, tmp_lake_dir):
+    """Tags are durable time-travel anchors: a tagged version survives
+    expire_snapshots regardless of keep_last; read(tag=...) resolves
+    it; untagging releases the pin on the next expiry."""
+    import pytest
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    for i in range(6):
+        df = _with_bucket(
+            lake,
+            _mk(spark, [("c1", 0, "user", f"v{i}", None,
+                         f"2024-01-01 00:0{i}:00", i + 1)]),
+        )
+        lake.commit(df, [0, 1], f"b{i}", (i + 1, i + 1))
+        if i == 1:
+            tagged_v = lake.tag("training-cut")
+    assert lake.tags() == {"training-cut": tagged_v}
+    with pytest.raises(ValueError, match="invalid tag name"):
+        lake.tag("../escape")
+    with pytest.raises(ValueError, match="no snapshot version"):
+        lake.tag("nope", version=999)
+
+    res = lake.expire_snapshots(keep_last=2)
+    assert res["snapshots_removed"] > 0
+    assert tagged_v in lake.versions()  # pinned by the tag
+    assert lake.read(tag="training-cut", user_cols=True).collect()[0].text == "v1"
+    with pytest.raises(ValueError, match="unknown tag"):
+        lake.read(tag="ghost")
+    with pytest.raises(ValueError, match="not both"):
+        lake.read(version=tagged_v, tag="training-cut")
+
+    assert lake.untag("training-cut")
+    assert not lake.untag("training-cut")
+    lake.expire_snapshots(keep_last=2)
+    assert tagged_v not in lake.versions()  # pin released
