@@ -172,7 +172,8 @@ class FanoutTailer:
 
     def __init__(self, spark, binlog_dir: str, catalog: LakeCatalog,
                  checkpoint_dir: str, max_files_per_trigger: int = 1,
-                 compact_max_files: int | None = None):
+                 compact_max_files: int | None = None,
+                 views: list | None = None):
         import hashlib
 
         self.spark = spark
@@ -185,6 +186,18 @@ class FanoutTailer:
         # them (metadata-only victim check each batch, rewrite only
         # when victims exist — the OPTIMIZE-as-you-go loop).
         self.compact_max_files = compact_max_files
+        # Live rollups over the fan-out CATALOG tables: each entry is
+        # (upstream_table_name, downstream LakeTable, ViewSpec). Ticked
+        # after every applied batch with mode="recompute" — the correct
+        # mode for APPEND upstreams: the algebraic path's per-key diff
+        # algebra assumes one stored row per key, while an append table
+        # accumulates rows; recompute rebuilds changed groups from the
+        # raw rows, and its changed-KEY discovery via the change feed is
+        # complete because every append raises its key's max __lsn (the
+        # WAL ordering invariant), so the collapsed per-key state always
+        # changes. Exactly-once via the same relay cursor as the merge
+        # tailer's views.
+        self.views = list(views or [])
         self.ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
         self.batch_results: list[dict[str, Any]] = []
 
@@ -202,6 +215,26 @@ class FanoutTailer:
             }
             if packed:
                 res = dict(res, compacted=sorted(packed))
+        if res.get("applied") and self.views:
+            from ..tableformat.lake import CommitConflict
+            from .views import refresh_view
+
+            ticked = []
+            for up_name, down, spec in self.views:
+                up = self.catalog.table(up_name)
+                # same retry contract as BinlogTailer views: a racing
+                # maintenance commit costs a recompute from the fresh
+                # snapshot, never the stream; the relay cursor keeps a
+                # re-tick exactly-once
+                for attempt in range(3):
+                    try:
+                        r = refresh_view(up, down, spec, mode="recompute")
+                        break
+                    except CommitConflict:
+                        if attempt == 2:
+                            raise
+                ticked.append({"view": spec.name, **r})
+            res = dict(res, views=ticked)
         self.batch_results.append(res)
 
     def run_available(self) -> list[dict[str, Any]]:

@@ -97,14 +97,31 @@ def lsh_topk(
     n_bits: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_to: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """ANN: candidates share the RHP signature bucket; exact cosine
     rerank within the bucket. Recall rises with fewer bits / more
     probes; this is the partition-local scale path. ``round_to`` rounds
     the cosine BEFORE ranking (cross-engine-stable tie behavior for the
-    oracle gate)."""
+    oracle gate).
+
+    ``probes`` is the MULTI-PROBE Hamming radius: each query also
+    probes every signature within ``probes`` bit flips of its own
+    (probes=1 -> the exact bucket plus n_bits 1-flip neighbors). A
+    near-neighbor that disagrees with the query on a few hyperplane
+    signs — the dominant recall loss at practical bit widths — is
+    recovered without touching the CORPUS side: only the bounded query
+    frame fans out (x sum_{r<=probes} C(n_bits, r) rows), the joins
+    stay per-bucket, and the corpus is still scanned exactly once. A
+    (qid, cid) pair can match at most one probed bucket (the corpus
+    signature is fixed and the probe set is distinct), so no dedup
+    pass is needed."""
+    from itertools import combinations
+
     from pyspark.sql import Window
 
+    if not 0 <= probes <= n_bits:
+        raise ValueError(f"probes must be in [0, {n_bits}]")
     c = rhp_signature(
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
         dim, n_bits, seed, "cv",
@@ -113,6 +130,18 @@ def lsh_topk(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
         dim, n_bits, seed, "qv",
     )
+    if probes > 0:
+        masks = [0] + [
+            sum(1 << j for j in comb)
+            for r in range(1, probes + 1)
+            for comb in combinations(range(n_bits), r)
+        ]
+        q = q.withColumn(
+            "sig",
+            F.explode(F.array(*[
+                F.expr(f"sig ^ {m}L") for m in masks
+            ])),
+        )
     cand = c.join(F.broadcast(q), "sig").filter(F.col("qid") != F.col("cid"))
     scored = cand.withColumn("cos", _cos("qv", "cv"))
     if round_to is not None:

@@ -54,7 +54,16 @@ Aggregate kinds (``out_type`` is the stored Spark type):
                                       SKETCH algebra is exact). Inserts
                                       union; any removal of a non-null
                                       value falls back to recomputing
-                                      that group (registers only grow)
+                                      that group (registers only grow).
+                                      COST NOTE: a delete-heavy tick on
+                                      a high-cardinality sketch view
+                                      therefore degenerates toward full
+                                      recompute of the changed groups —
+                                      bounded by the
+                                      FALLBACK_RECOMPUTE_FRACTION
+                                      switch, which collapses such a
+                                      tick to ONE recompute plan
+                                      instead of algebraic + fallback
 
 Key-changing updates are handled for free: the preimage row decrements
 its OLD group, the postimage increments the NEW one — grouping the feed
@@ -99,6 +108,15 @@ from ..tableformat.lake import (
 # semi/anti joins; larger ticks (backfills, bulk corrections) use
 # shuffle joins so the driver never materializes the key set.
 BROADCAST_KEYS_MAX = 100_000
+
+# Algebraic-tick degeneration guard: when the min/max/approx_distinct
+# regression fallback would recompute MORE than this fraction of the
+# tick's changed groups, the whole tick switches to the recompute plan
+# instead — one upstream-semi-join plan beats the algebraic plan PLUS a
+# near-total fallback recompute (two plans over ~the same groups). A
+# delete-heavy workload on an extrema/sketch view hits this every tick;
+# the switch keeps its cost at recompute parity instead of ~2x.
+FALLBACK_RECOMPUTE_FRACTION = 0.5
 
 _INVERTIBLE = ("count", "sum")
 _EXTREMA = ("max", "min")
@@ -566,7 +584,8 @@ def refresh_view(
             )
         delta = delta.withColumn("__b", bucket_of).persist()
         to_unpersist.append(delta)
-        small = delta.count() <= BROADCAST_KEYS_MAX
+        n_changed = delta.count()
+        small = n_changed <= BROADCAST_KEYS_MAX
         affected = sorted(
             int(r["__b"]) for r in delta.select("__b").distinct().collect()
         )
@@ -614,7 +633,23 @@ def refresh_view(
         summaries = clean.select(*spec.out_cols)
         fb_keys = j.filter(F.col("__ambig")).select(*key)
         n_fallback = fb_keys.count()
-        if n_fallback:
+        if (
+            n_fallback
+            and n_fallback >= FALLBACK_RECOMPUTE_FRACTION * n_changed
+        ):
+            # Delete-heavy degeneration: most changed groups need the
+            # recompute fallback anyway, so running the algebraic plan
+            # AND a near-total fallback union costs ~2 plans over the
+            # same groups. Collapse the tick to the ONE recompute plan
+            # over ALL changed groups (exactly mode="recompute"'s
+            # combine; state identity is unchanged — full_compute is
+            # the single definition both paths share).
+            live = upstream.read(version=up_v, user_cols=True)
+            summaries = full_compute(
+                spec, _key_join(live, kdf, key, "left_semi", small=small)
+            )
+            mode = "algebraic->recompute"
+        elif n_fallback:
             live = upstream.read(version=up_v, user_cols=True)
             summaries = summaries.unionByName(
                 full_compute(
@@ -627,22 +662,31 @@ def refresh_view(
             )
         content = kept.unionByName(stamp(summaries))
 
-    ok = downstream.commit(
-        content.repartition(max(1, len(affected)), F.col(BUCKET_COL)),
-        affected,
-        batch_id=f"relay-{last_v}-{up_v}",
-        metrics={"relay_upstream_version": up_v,
-                 "relay_from_version": last_v,
-                 "relay_mode": mode,
-                 "view": spec.name},
-        base_version=snap_d["version"],
-    )
-    for df in to_unpersist:
-        df.unpersist()
+    try:
+        ok = downstream.commit(
+            content.repartition(max(1, len(affected)), F.col(BUCKET_COL)),
+            affected,
+            batch_id=f"relay-{last_v}-{up_v}",
+            metrics={"relay_upstream_version": up_v,
+                     "relay_from_version": last_v,
+                     "relay_mode": mode,
+                     "view": spec.name},
+            base_version=snap_d["version"],
+        )
+    finally:
+        # always release the tick's cached frames: a CommitConflict
+        # here is RETRIED by the tailer (fresh snapshot, fresh persists)
+        # and would otherwise leak this attempt's partitions for the
+        # session lifetime
+        for df in to_unpersist:
+            df.unpersist()
     return {
         "applied": ok,
         "cursor": up_v,
         "from": last_v,
         "buckets": len(affected),
         "fallback_groups": n_fallback,
+        # effective plan this tick: "algebraic", "recompute", or
+        # "algebraic->recompute" (the delete-heavy single-plan switch)
+        "mode": mode,
     }

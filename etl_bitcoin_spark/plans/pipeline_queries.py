@@ -126,13 +126,30 @@ _SHINGLED_DUCK = f"""
   FROM corpus
 """
 
+# Document-frequency ceiling for the EXACT co-shingle join: a single
+# ubiquitous shingle (boilerplate, a common trigram) makes that join
+# quadratic in its df — df^2 candidate rows from one group. Shingles
+# above the cap carry ~no near-dup signal (idf-useless: sharing one
+# tells you nothing about the pair), so they are dropped from the
+# INTERSECTION counting only; per-doc set sizes (the denominator) stay
+# exact, which can only LOWER a pair's estimated Jaccard — conservative
+# for a >= threshold filter. The cap sits far above any real df in the
+# gate corpora (max 250 at sf0.1), so the oracle gate is unaffected;
+# the DuckDB oracle mirrors the cap exactly.
+MAX_SHINGLE_DF = 10_000
+
 _JACCARD_DUCK = f"""
 shingled AS ({_SHINGLED_DUCK}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+capped AS (
+  SELECT shingle FROM shingled GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM shingled a JOIN shingled b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
   GROUP BY doc_a, doc_b
 ),
 jac AS (
@@ -145,8 +162,20 @@ jac AS (
 """
 
 
-def _jaccard_pairs(shingled):
+def _jaccard_pairs(shingled, max_df: int = MAX_SHINGLE_DF):
+    """Exact all-pairs Jaccard over the co-shingle join, with the
+    ``max_df`` ceiling (see MAX_SHINGLE_DF) bounding the join's
+    per-shingle fan-out to max_df^2 — the hot-shingle quadratic hazard
+    is closed by construction. Set sizes remain exact (full shingle
+    set); only intersection counting skips capped shingles."""
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    capped = (
+        shingled.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    shingled = shingled.join(capped, "shingle")
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (

@@ -185,13 +185,17 @@ class BinlogTailer:
             if self.compact_max_deltas is not None:
                 # the stop-time pass ignores the nibble cap: the table
                 # must meet the read-amp policy bound at stream stop,
-                # not merely converge toward it
+                # not merely converge toward it. batch_id=None -> the
+                # version-derived default (compact-deltas-v{N}), which
+                # is unique per run: a fixed per-checkpoint id would be
+                # absorbed as a replay on the SECOND run of the same
+                # stream (restart / daily drain) and silently skip the
+                # final pass, voiding the stop-time policy bound.
                 from ..tableformat.lake import CommitConflict
 
                 try:
                     self.lake.compact_deltas(
-                        self.compact_max_deltas,
-                        batch_id=f"compact-{self.ns}-final",
+                        self.compact_max_deltas, batch_id=None
                     )
                 except CommitConflict:
                     pass

@@ -156,7 +156,7 @@ def _atomic_write(path: str, payload: str) -> None:
 def _empty_bm() -> dict[str, Any]:
     return {
         "files": [], "rows": 0, "deltas": [], "delta_rows": 0,
-        "file_stats": {}, "key_stats": {},
+        "file_stats": {}, "key_stats": {}, "val_stats": {},
     }
 
 
@@ -227,12 +227,24 @@ class LakeTable:
         schema_ddl: str,
         key_cols: list[str],
         n_buckets: int = 16,
+        stats_col: str | None = None,
     ) -> "LakeTable":
+        """``stats_col`` declares a SECOND clustering/skipping dimension
+        (a numeric column, e.g. a ``ts``): every commit records per-file
+        [min,max] for it alongside the first-key stats, compaction sorts
+        by (key, stats_col), and ``read(secondary_range=...)`` prunes
+        files by it — the 2-D answer to "key skipping covers only the
+        first key column" (a 1-D OPTIMIZE-ZORDER step)."""
         t = cls(spark, root)
         os.makedirs(os.path.join(t.manifest_dir, "gm"), exist_ok=True)
         os.makedirs(os.path.join(t.manifest_dir, "bm"), exist_ok=True)
         os.makedirs(os.path.join(t.manifest_dir, "batches"), exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
+        if stats_col is not None and stats_col in key_cols:
+            raise ValueError(
+                "stats_col duplicates a key column; the first key column"
+                " already has per-file stats"
+            )
         manifest = {
             "version": 1,
             "parent": None,
@@ -240,6 +252,7 @@ class LakeTable:
             "key_cols": key_cols,
             "n_buckets": n_buckets,
             "group_size": min(GROUP_SIZE, n_buckets),
+            "stats_col": stats_col,
             "batch_id": None,
             "applied_batch_ids": [],
             "committed_at": time.time(),
@@ -336,6 +349,19 @@ class LakeTable:
         d = os.path.join(self.manifest_dir, "tags")
         os.makedirs(d, exist_ok=True)
         _atomic_write(os.path.join(d, name), json.dumps({"version": v}))
+        # Close the TOCTOU with a racing expire_snapshots (which reads
+        # tags() once up front): if the tagged version vanished between
+        # our validation and the tag write, the tag points at a GC'd
+        # snapshot — remove it and surface the race instead of leaving
+        # a dangling "durable" anchor.
+        if not os.path.exists(
+            os.path.join(self.manifest_dir, self._vname(v))
+        ):
+            self.untag(name)
+            raise ValueError(
+                f"version {v} expired while tagging {name!r}; "
+                "re-tag against a retained version"
+            )
         return v
 
     def untag(self, name: str) -> bool:
@@ -465,6 +491,7 @@ class LakeTable:
         lsn_range: tuple[int | None, int | None] | None = None,
         key_range: tuple[str | None, str | None] | None = None,
         tag: str | None = None,
+        secondary_range: tuple[int | None, int | None] | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``buckets`` prunes to those buckets only —
         the MERGE's partition-pruning fast path (only touched buckets are
@@ -496,7 +523,23 @@ class LakeTable:
         max_records_per_file=...)``), a point lookup opens ~1 file
         instead of the whole bucket — at 100 TB that is the difference
         between one task and thousands. Requires a non-null first key
-        column (the table-key contract)."""
+        column (the table-key contract).
+
+        ``secondary_range=(lo, hi)`` prunes by the table's DECLARED
+        ``stats_col`` (see ``create``) — the SECOND skipping dimension
+        (e.g. a time-bounded read of a key-keyed table). Semantics:
+        resolved rows whose stats_col value is in range (nulls
+        excluded). Composition with merge-on-read is asymmetric because
+        the column is a VALUE, not a key: in buckets carrying deltas, a
+        pruned base row could be the true LWW winner and its absence
+        would let a stale in-range delta row win — so base files are
+        pruned ONLY in delta-free buckets (raw scans prune everywhere:
+        their semantics are per-row), and the row-level range filter is
+        applied AFTER resolution. Delta-free buckets hold final
+        per-key state, where the row filter and the file prune agree.
+        After a clustered compaction (which sorts by key THEN
+        stats_col), pruning pays off when key order correlates with the
+        stats_col or per-key row counts are small."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")
@@ -531,8 +574,33 @@ class LakeTable:
             def _kkeep(e, f):
                 return True
 
-        def _keep(e, f):
-            return _lkeep(e, f) and _kkeep(e, f)
+        scol = m.get("stats_col")
+        if secondary_range is not None:
+            if scol is None:
+                raise ValueError(
+                    "secondary_range requires a stats_col declared at"
+                    " create()"
+                )
+            vlo, vhi = secondary_range
+            raw_scan = not resolve_deltas or lsn_range is not None
+
+            def _vkeep(e, f, is_base):
+                # value-column prune: sound per-row on raw scans; under
+                # resolution sound only where no delta can supersede a
+                # pruned base row (delta-free buckets) — see docstring
+                if not raw_scan and (not is_base or e["deltas"]):
+                    return True
+                st = e.get("val_stats", {}).get(f)
+                return st is None or (
+                    (vlo is None or st[1] >= vlo)
+                    and (vhi is None or st[0] <= vhi)
+                )
+        else:
+            def _vkeep(e, f, is_base):
+                return True
+
+        def _keep(e, f, is_base=True):
+            return _lkeep(e, f) and _kkeep(e, f) and _vkeep(e, f, is_base)
 
         base_files = [
             os.path.join(self.root, f)
@@ -544,7 +612,7 @@ class LakeTable:
             os.path.join(self.root, f)
             for e in entries.values()
             for f in e["deltas"]
-            if _keep(e, f)
+            if _keep(e, f, is_base=False)
         ]
         schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
 
@@ -587,6 +655,16 @@ class LakeTable:
             else:
                 # raw maintenance scan: base ∪ delta rows, unresolved
                 df = df.unionByName(_scan(delta_files))
+        if secondary_range is not None:
+            # row-level range filter AFTER resolution: file pruning is
+            # best-effort (delta-free buckets / raw scans); this filter
+            # is the semantics
+            vcond = F.lit(True)
+            if vlo is not None:
+                vcond = vcond & (F.col(scol) >= F.lit(vlo))
+            if vhi is not None:
+                vcond = vcond & (F.col(scol) <= F.lit(vhi))
+            df = df.filter(vcond)
         # BUCKET_COL is a pure function of the key columns — re-derive it
         # instead of parsing paths (robust to any directory layout).
         df = df.withColumn(
@@ -690,7 +768,8 @@ class LakeTable:
             # small commit: direct footer reads beat a job round-trip
             from concurrent.futures import ThreadPoolExecutor
 
-            key0 = self.snapshot()["key_cols"][0]
+            key0 = prev["key_cols"][0]
+            scol = prev.get("stats_col")
 
             def _meta(item):
                 b, entry, fn = item
@@ -698,13 +777,14 @@ class LakeTable:
                 return (
                     b, os.path.join(rel, entry, fn), md.num_rows,
                     _footer_lsn_stats(md), _footer_key_stats(md, key0),
+                    None if scol is None else _footer_minmax(md, scol, int),
                 )
 
             with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
-                for b, relpath, n, st, kst in ex.map(_meta, work):
+                for b, relpath, n, st, kst, vst in ex.map(_meta, work):
                     info = per_bucket.setdefault(
                         b, {"files": [], "rows": 0, "stats": {},
-                            "kstats": {}}
+                            "kstats": {}, "vstats": {}}
                     )
                     info["files"].append(relpath)
                     info["rows"] += n
@@ -712,6 +792,8 @@ class LakeTable:
                         info["stats"][relpath] = st
                     if kst is not None:
                         info["kstats"][relpath] = kst
+                    if vst is not None:
+                        info["vstats"][relpath] = vst
         else:
             # scale path: read footers ON THE EXECUTORS — one tiny job,
             # wall time flat in bucket count (a 4096-bucket commit reads
@@ -724,7 +806,8 @@ class LakeTable:
             )
 
             lsn_col = LSN_COL
-            key0 = self.snapshot()["key_cols"][0]
+            key0 = prev["key_cols"][0]
+            scol = prev.get("stats_col")
 
             def _read_footers(batches):
                 # self-contained closure (pyarrow only): survives pickling
@@ -748,13 +831,29 @@ class LakeTable:
                     return None if lo is None else (lo, hi)
 
                 def _s(v):
+                    # STRICT decode, matching the driver path
+                    # (_footer_key_stats): a replacement-char string
+                    # (U+FFFD) can misorder against real keys (astral
+                    # codepoints sort above it) and wrongly prune a
+                    # file on read(key_range=...). Undecodable stats
+                    # disable skipping for that file, never correctness.
                     if isinstance(v, bytes):
-                        return v.decode("utf-8", "replace")
+                        try:
+                            return v.decode("utf-8")
+                        except UnicodeDecodeError:
+                            return None
                     return v if isinstance(v, str) else None
+
+                def _i(v):
+                    try:
+                        return int(v)
+                    except (TypeError, ValueError):
+                        return None
 
                 for pdf in batches:
                     pdf = pdf.copy()
                     rows, los, his, klos, khis = [], [], [], [], []
+                    vlos, vhis = [], []
                     for p in pdf["abspath"]:
                         md = _pq.read_metadata(p)
                         rows.append(md.num_rows)
@@ -768,22 +867,31 @@ class LakeTable:
                             klo = khi = None
                         klos.append(klo)
                         khis.append(khi)
+                        vst = None if scol is None else _minmax(md, scol)
+                        vlo = None if vst is None else _i(vst[0])
+                        vhi = None if vst is None else _i(vst[1])
+                        if vlo is None or vhi is None:
+                            vlo = vhi = None
+                        vlos.append(vlo)
+                        vhis.append(vhi)
                     pdf["rows"], pdf["lsn_lo"], pdf["lsn_hi"] = rows, los, his
                     pdf["key_lo"], pdf["key_hi"] = klos, khis
+                    pdf["val_lo"], pdf["val_hi"] = vlos, vhis
                     yield pdf[["b", "relpath", "rows", "lsn_lo", "lsn_hi",
-                               "key_lo", "key_hi"]]
+                               "key_lo", "key_hi", "val_lo", "val_hi"]]
 
             stats = meta_rows.repartition(
                 min(len(work), 2 * int(self.spark.sparkContext.defaultParallelism))
             ).mapInPandas(
                 _read_footers,
                 "b string, relpath string, rows long, lsn_lo long, "
-                "lsn_hi long, key_lo string, key_hi string",
+                "lsn_hi long, key_lo string, key_hi string, "
+                "val_lo long, val_hi long",
             ).collect()
             for r in stats:
                 info = per_bucket.setdefault(
                     r["b"], {"files": [], "rows": 0, "stats": {},
-                             "kstats": {}}
+                             "kstats": {}, "vstats": {}}
                 )
                 info["files"].append(r["relpath"])
                 info["rows"] += int(r["rows"])
@@ -794,6 +902,10 @@ class LakeTable:
                 if r["key_lo"] is not None:
                     info["kstats"][r["relpath"]] = [
                         r["key_lo"], r["key_hi"]
+                    ]
+                if r["val_lo"] is not None:
+                    info["vstats"][r["relpath"]] = [
+                        int(r["val_lo"]), int(r["val_hi"])
                     ]
         for info in per_bucket.values():
             info["files"].sort()
@@ -858,6 +970,7 @@ class LakeTable:
                             "delta_rows": 0,
                             "file_stats": info.get("stats", {}),
                             "key_stats": info.get("kstats", {}),
+                            "val_stats": info.get("vstats", {}),
                         }
                     else:
                         new_ptrs.setdefault(b, None)
@@ -877,6 +990,10 @@ class LakeTable:
                             **cur_bm.get("key_stats", {}),
                             **info.get("kstats", {}),
                         },
+                        "val_stats": {
+                            **cur_bm.get("val_stats", {}),
+                            **info.get("vstats", {}),
+                        },
                     }
                 else:  # delta
                     cur_bm = self._load_bm(self._bucket_pointer(cur, b))
@@ -892,6 +1009,10 @@ class LakeTable:
                         "key_stats": {
                             **cur_bm.get("key_stats", {}),
                             **info.get("kstats", {}),
+                        },
+                        "val_stats": {
+                            **cur_bm.get("val_stats", {}),
+                            **info.get("vstats", {}),
                         },
                     }
                 new_ptrs[b] = {
@@ -969,6 +1090,7 @@ class LakeTable:
                     else new_n_buckets
                 ),
                 "group_size": group_size,
+                "stats_col": cur.get("stats_col"),
                 "batch_id": batch_id,
                 "applied_batch_ids": (cur["applied_batch_ids"] + [batch_id])[
                     -MAX_APPLIED_BATCH_IDS:
@@ -1040,6 +1162,10 @@ class LakeTable:
                 return False
             if col in prev["key_cols"]:
                 raise ValueError(f"cannot drop key column {col!r}")
+            if col == prev.get("stats_col"):
+                raise ValueError(
+                    f"cannot drop declared stats column {col!r}"
+                )
             parts = ddl_split(prev["schema_ddl"])
             keep = [p for p in parts if p.split(" ", 1)[0] != col]
             if len(keep) == len(parts):
@@ -1174,11 +1300,17 @@ class LakeTable:
             )
 
         user_cols = ddl_col_names(m_new["schema_ddl"])
+        # internal old-side engine aliases derive from the RESERVED
+        # engine column names (__lsn/__deleted): "__old_lsn" would
+        # collide with the "__old_" alias of a USER column named
+        # literally "lsn" (e.g. the fan-out turns table)
+        old_lsn = f"__old_{LSN_COL}"
+        old_del = f"__old_{DELETED_COL}"
         old = _one_per_key(
             self.read(version=m_old["version"], buckets=changed)
         ).select(
-            *key, F.col(LSN_COL).alias("__old_lsn"),
-            F.col(DELETED_COL).alias("__old_del"),
+            *key, F.col(LSN_COL).alias(old_lsn),
+            F.col(DELETED_COL).alias(old_del),
             *[
                 F.col(c).alias(f"__old_{c}")
                 for c in user_cols if c not in key
@@ -1188,11 +1320,11 @@ class LakeTable:
             self.read(version=m_new["version"], buckets=changed)
         )
         j = new.join(old, key, "full_outer")
-        was_live = F.col("__old_del").isNotNull() & ~F.col("__old_del")
+        was_live = F.col(old_del).isNotNull() & ~F.col(old_del)
         is_live = F.col(DELETED_COL).isNotNull() & ~F.col(DELETED_COL)
         is_insert = ~was_live.eqNullSafe(True) & is_live
         is_update = was_live & is_live & (
-            F.col(LSN_COL) != F.col("__old_lsn")
+            F.col(LSN_COL) != F.col(old_lsn)
         )
         is_delete = was_live & ~is_live.eqNullSafe(True)
         if not include_preimages:
@@ -1439,14 +1571,18 @@ class LakeTable:
             victims = sorted(
                 victims, key=lambda b: -by_deltas.get(b, 0)
             )[:max_buckets]
+        sort_cols = [BUCKET_COL, *m["key_cols"]] + (
+            [m["stats_col"]] if m.get("stats_col") else []
+        )
         content = (
             self.read(version=m["version"], buckets=victims)
             # bucket-value partitioning -> ONE file per compacted
-            # bucket; in-task sort clusters it by key so row-group
-            # min/max stats serve later key-predicate scans (see
+            # bucket; in-task sort clusters it by key (then the
+            # declared stats_col) so row-group min/max stats serve
+            # later key- and secondary-predicate scans (see
             # compact_files for the rationale)
             .repartition(len(victims), F.col(BUCKET_COL))
-            .sortWithinPartitions(BUCKET_COL, *m["key_cols"])
+            .sortWithinPartitions(*sort_cols)
         )
         ok = self.commit(
             content,
@@ -1514,9 +1650,14 @@ class LakeTable:
             # parquet row-group min/max stats that let later key-
             # predicate scans skip row groups (the OPTIMIZE-ZORDER
             # analog, 1-D) — compaction is the one time this sort is
-            # free to amortize
+            # free to amortize. The declared stats_col (when present)
+            # extends the sort: files split from the sorted stream get
+            # tight secondary min/max ranges too (the 1-D Z-order step)
             .repartition(len(victims), F.col(BUCKET_COL))
-            .sortWithinPartitions(BUCKET_COL, *m["key_cols"])
+            .sortWithinPartitions(
+                *([BUCKET_COL, *m["key_cols"]]
+                  + ([m["stats_col"]] if m.get("stats_col") else []))
+            )
         )
         # ``max_records_per_file`` splits each bucket's key-sorted
         # stream into key-DISJOINT files (Iceberg's target-file-size

@@ -348,3 +348,72 @@ def test_streaming_fanout_with_compaction_policy(spark, tmp_path):
     pin = cat.snapshot()["tables"]["turns"]
     for b, e in t.bucket_entries(version=pin).items():
         assert len(e["files"]) <= 4, (b, e["files"])
+
+
+def test_fanout_tailer_live_view_relay(spark, tmp_path):
+    """views=[(table, down, spec)] on the FANOUT tailer: a maintained
+    rollup over an append-mode catalog table (turns) ticks after every
+    applied batch with mode="recompute" (append upstreams accumulate
+    rows per key, so the per-key algebraic diff does not apply), stays
+    equal to a from-scratch recompute, and survives a restart over the
+    same checkpoint without double-counting."""
+    from etl_bitcoin_spark.gen import BinlogSpec, generate_binlog, write_segments
+    from etl_bitcoin_spark.operators.fanout import FanoutTailer
+    from etl_bitcoin_spark.operators.views import (
+        ViewSpec, create_view_table, full_compute,
+    )
+
+    pdf = generate_binlog(
+        BinlogSpec(seed=11, n_convs=15, n_events=300, n_segments=3,
+                   dup_rate=0.0)
+    )
+    wal = str(tmp_path / "wal")
+    write_segments(pdf, wal)
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    create_fanout_tables(cat, n_buckets=4)
+    spec = ViewSpec(
+        "conv_rollup",
+        "conv_id string",
+        {
+            "n_rows": ("count", "long"),
+            "total_chars": ("sum", "length(coalesce(text, ''))", "long"),
+            "max_lsn": ("max", "lsn", "long"),
+        },
+        key_is_upstream_key=True,
+    )
+    down = create_view_table(spark, str(tmp_path / "roll"), spec, 2)
+    tailer = FanoutTailer(
+        spark, wal, cat, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, views=[("turns", down, spec)],
+    )
+    results = tailer.run_available()
+    assert all(r["applied"] for r in results)
+    assert all(
+        v["applied"] for r in results for v in r.get("views", [])
+    ), results
+
+    def states():
+        got = {
+            r.conv_id: (r.n_rows, r.total_chars, r.max_lsn)
+            for r in down.read(user_cols=True).collect()
+        }
+        want = {
+            r.conv_id: (r.n_rows, r.total_chars, r.max_lsn)
+            for r in full_compute(
+                spec, cat.table("turns").read(user_cols=True)
+            ).collect()
+        }
+        return got, want
+
+    got, want = states()
+    assert got == want and sum(v[0] for v in got.values()) == 300
+
+    # restart over the same checkpoint: fan-out batches absorb, view
+    # cursor sees no new upstream version -> state unchanged
+    t2 = FanoutTailer(
+        spark, wal, cat, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, views=[("turns", down, spec)],
+    )
+    t2.run_available()
+    got, want = states()
+    assert got == want and sum(v[0] for v in got.values()) == 300

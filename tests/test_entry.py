@@ -77,3 +77,18 @@ def test_query_matches_oracle(spark, name):
     g, w = _normalize(got), _normalize(want)
     assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
     pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=1e-9)
+
+
+def test_gate_registry_budget_is_exactly_50():
+    """The 50-slot gate budget is load-bearing (SURVEY §8: the driver
+    caps recorded gates; composites exist precisely to keep every
+    registered query correctness-gated). A new gate must REPLACE or
+    COMPOSE, never silently push a tail gate past the cap."""
+    from etl_bitcoin_spark.plans import all_oracles, all_queries
+
+    q, o = all_queries(), all_oracles()
+    assert len(q) == 50, (
+        f"{len(q)} registered queries — the driver records exactly 50;"
+        " fold the new gate into a composite (see SURVEY §8)"
+    )
+    assert set(q) == set(o), set(q) ^ set(o)

@@ -820,3 +820,125 @@ def test_snapshot_tags_pin_through_expiry(spark, tmp_lake_dir):
     assert not lake.untag("training-cut")
     lake.expire_snapshots(keep_last=2)
     assert tagged_v not in lake.versions()  # pin released
+
+
+def test_tag_detects_concurrent_expiry_race(spark, tmp_lake_dir):
+    """TOCTOU guard: if the tagged version is expired between the tag's
+    validation and its write (a racing expire_snapshots read tags()
+    before this tag landed), tag() detects the dangling anchor, removes
+    it, and raises — never leaving a tag that points at a GC'd
+    snapshot."""
+    import pytest
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    for i in range(4):
+        df = _with_bucket(
+            lake,
+            _mk(spark, [("c1", 0, "user", f"v{i}", None,
+                         "2024-01-01 00:00:00", i + 1)]),
+        )
+        lake.commit(df, [0, 1], f"b{i}", (i + 1, i + 1))
+    victim = lake.versions()[1]
+    orig_validate = lake.versions
+
+    class _RaceOnce:
+        # simulate the interleaving: expiry lands AFTER tag() validated
+        # the version but BEFORE its post-write re-check
+        fired = False
+
+        def __call__(self):
+            vs = orig_validate()
+            if not _RaceOnce.fired:
+                _RaceOnce.fired = True
+                import os as _os
+
+                _os.remove(
+                    _os.path.join(
+                        lake.manifest_dir, lake._vname(victim)
+                    )
+                )
+                return vs  # stale listing: victim still present
+            return vs
+
+    lake.versions = _RaceOnce()
+    with pytest.raises(ValueError, match="expired while tagging"):
+        lake.tag("raced", version=victim)
+    lake.versions = orig_validate
+    assert "raced" not in lake.tags()  # no dangling anchor left behind
+
+
+def test_secondary_range_file_skipping(spark, tmp_path):
+    """2-D data skipping: a declared stats_col gets per-file [min,max]
+    at commit; compaction sorts by (key, stats_col) and splits files;
+    read(secondary_range=...) prunes files AND returns exactly what a
+    plain filter over the resolved state would — including through
+    merge-on-read deltas, where base files of delta-carrying buckets
+    are never pruned (a pruned base row could be the LWW winner)."""
+    ddl = "ev_id string, ts long, val string"
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lk"), ddl, ["ev_id"], 2, stats_col="ts"
+    )
+    for c in range(3):
+        rows = [
+            (f"e{40 * c + i:04d}", 40 * c + i, f"v{40 * c + i}",
+             40 * c + i)
+            for i in range(40)
+        ]
+        content = (
+            spark.createDataFrame(rows, f"{ddl}, {LSN_COL} long")
+            .withColumn("__deleted", F.lit(False))
+        )
+        content = content.withColumn(
+            BUCKET_COL, lake.bucket_expr(2, ["ev_id"])
+        )
+        assert lake.commit(content, [], f"a{c}", None, mode="append")
+    r = lake.compact_files(max_files_per_bucket=1, max_records_per_file=15)
+    assert r["applied"] and r["buckets_compacted"] == 2
+    ent = lake.bucket_entries()
+    for e in ent.values():
+        assert set(e["files"]) == set(e.get("val_stats", {})), e
+
+    full = lake.read(user_cols=True)
+    pruned = lake.read(user_cols=True, secondary_range=(10, 25))
+    want = sorted(
+        r.ev_id for r in full.collect() if 10 <= r.ts <= 25
+    )
+    got = sorted(r.ev_id for r in pruned.collect())
+    assert got == want and len(got) == 16
+    assert len(pruned.inputFiles()) < len(full.inputFiles()), (
+        pruned.inputFiles(), full.inputFiles(),
+    )
+
+    # open-ended sides
+    hi = lake.read(user_cols=True, secondary_range=(100, None))
+    assert hi.count() == 20
+    assert len(hi.inputFiles()) < len(full.inputFiles())
+
+    # merge-on-read composition: delta-update e0050's ts OUT of a
+    # queried range — the resolved read must drop the key (the winner
+    # is out of range), never resurrect the stale base row
+    delta = (
+        spark.createDataFrame(
+            [("e0050", 5000, "moved", 1000)], f"{ddl}, {LSN_COL} long"
+        )
+        .withColumn("__deleted", F.lit(False))
+        .withColumn(BUCKET_COL, lake.bucket_expr(2, ["ev_id"]))
+    )
+    assert lake.commit(delta, [], "d1", None, mode="delta")
+    got = lake.read(user_cols=True, secondary_range=(45, 55))
+    ids = sorted(r.ev_id for r in got.collect())
+    assert "e0050" not in ids and len(ids) == 10
+    # and the moved row surfaces where its NEW ts lives
+    got2 = lake.read(user_cols=True, secondary_range=(4000, None))
+    assert [(r.ev_id, r.val) for r in got2.collect()] == [
+        ("e0050", "moved")
+    ]
+
+    # declaring a key column as stats_col is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="stats_col"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad"), ddl, ["ev_id"], 2,
+            stats_col="ev_id",
+        )

@@ -283,3 +283,95 @@ def test_minhash_lsh_pairs_finds_planted_mutations(spark):
         ).collect()
     }
     assert found <= cand
+
+
+def test_lsh_multiprobe_recall_beats_exact_bucket(spark, emb):
+    """Multi-probe RHP-LSH: probing the query's signature plus all
+    1-bit flips recovers near-neighbors that disagree on a few
+    hyperplane signs — recall strictly above the exact-bucket variant
+    at equal n_bits, with the corpus side untouched (only the bounded
+    query frame fans out)."""
+    import numpy as np
+
+    rows = (
+        emb.filter(F.col("vec_id") < 40)
+        .select("vec_id", "embedding").collect()
+    )
+    rng = np.random.default_rng(7)
+    pert = [
+        (
+            int(r.vec_id) + 10000,
+            (
+                np.array(r.embedding, dtype=float)
+                + 0.25 * rng.standard_normal(len(r.embedding))
+                * np.linalg.norm(r.embedding) / 8
+            ).astype(np.float32).tolist(),
+        )
+        for r in rows
+    ]
+    aug = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(pert, "vec_id long, embedding array<float>")
+    )
+    q = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+
+    def planted_hits(probes):
+        top = similarity.lsh_topk(
+            aug, q, dim=64, k=10, n_bits=8, probes=probes
+        ).collect()
+        found = {(r.qid, r.cid) for r in top}
+        return sum(
+            1 for r in rows if (r.vec_id, r.vec_id + 10000) in found
+        )
+
+    h0, h1 = planted_hits(0), planted_hits(1)
+    assert h1 > h0, (h0, h1)
+    assert h1 >= 30, (h0, h1)  # seeded: 18 -> 33 of 40
+
+    import pytest
+
+    with pytest.raises(ValueError, match="probes"):
+        similarity.lsh_topk(aug, q, dim=64, n_bits=8, probes=9)
+
+
+def test_jaccard_df_cap_bounds_hot_shingle(spark):
+    """MAX_SHINGLE_DF closes the hot-shingle quadratic hazard in the
+    exact co-shingle join: one shingle shared by every document (df =
+    n_docs) would otherwise emit df^2/2 candidate pairs. With the cap,
+    ubiquitous shingles are dropped from intersection counting only
+    (set sizes stay exact), so output pairs come solely from rarer
+    co-shingles — and a corpus below the cap is bit-identical to the
+    uncapped computation."""
+    from etl_bitcoin_spark.plans.pipeline_queries import (
+        _jaccard_pairs, _shingled,
+    )
+
+    n = 2000
+    # every doc carries the ubiquitous tail "zz zz zz zz"; the first 5
+    # docs get a TRUE near-dup partner (same unique body, one word off)
+    docs = []
+    for i in range(n):
+        body = f"a{i} b{i} c{i} d{i} e{i}"
+        docs.append((i, f"{body} zz zz zz zz"))
+        if i < 5:
+            docs.append((i + 100000, f"{body} qq zz zz zz"))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = _shingled(d)
+    pairs = _jaccard_pairs(sh, max_df=50).filter(F.col("jaccard") >= 0.3)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(5)} <= got
+    # no pair exists on the strength of the hot shingle alone
+    assert all(b - a == 100000 for a, b in got), sorted(got)[:10]
+
+    # equivalence below the cap: a small corpus with max df < cap gives
+    # the exact uncapped result
+    small = spark.createDataFrame(docs[:40], "doc_id long, text string")
+    sh_small = _shingled(small)
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _jaccard_pairs(sh_small, max_df=50).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _jaccard_pairs(sh_small, max_df=1 << 40).collect()
+    }
+    assert capped == uncapped

@@ -479,3 +479,43 @@ def test_stream_with_live_view_relay(spark, tmp_path, binlog_pdf):
     )
     assert got.exceptAll(want).isEmpty()
     assert want.exceptAll(got).isEmpty()
+
+
+def test_stop_time_compaction_enforced_on_second_run(spark, tmp_path, binlog_pdf):
+    """Async-policy stop-time compaction must not be absorbed as a
+    replay on a SECOND run of the same stream (restart / daily drain):
+    the final pass uses the version-derived batch id, so each run's
+    drain re-establishes the read-amp policy bound at stream stop."""
+    wal = str(tmp_path / "wal")
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    ckpt = str(tmp_path / "ckpt")
+    # first half of the WAL (by segment, the unit of delivery)
+    write_segments(binlog_pdf[binlog_pdf.seg < 3], wal)
+    t1 = BinlogTailer(
+        spark, wal, lake, ckpt, max_files_per_trigger=1,
+        merge_on_read=True, compact_max_deltas=0,
+        compact_policy="async", compact_max_buckets=1,
+    )
+    t1.run_available()
+
+    def max_deltas():
+        return max(
+            (len(e["deltas"]) for e in lake.bucket_entries().values()),
+            default=0,
+        )
+
+    assert max_deltas() == 0, "policy bound must hold at stream stop"
+    # second run, same checkpoint: more segments arrive
+    write_segments(binlog_pdf[binlog_pdf.seg >= 3], wal)
+    t2 = BinlogTailer(
+        spark, wal, lake, ckpt, max_files_per_trigger=1,
+        merge_on_read=True, compact_max_deltas=0,
+        compact_policy="async", compact_max_buckets=1,
+    )
+    t2.run_available()
+    assert max_deltas() == 0, (
+        "second run's final pass was absorbed as a replay"
+    )
+    _check(lake, binlog_pdf)

@@ -558,3 +558,81 @@ def test_view_tick_plan_shape(spark, tmp_path, monkeypatch):
     assert "CartesianProduct" not in joined, joined[-4000:]
     # and the final state is still exact
     assert _state(down) == _full(ROLE_SPEC, up)
+
+
+def test_delete_heavy_tick_switches_to_single_recompute_plan(spark, tmp_path):
+    """FALLBACK_RECOMPUTE_FRACTION: when most changed groups need the
+    min/max/sketch regression fallback (a delete-heavy tick), the whole
+    tick collapses to ONE recompute plan over the changed groups
+    instead of algebraic + near-total fallback — and state still equals
+    the full recompute exactly."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    spec = ViewSpec(
+        "conv_ad",
+        "role string",
+        {
+            "n_turns": ("count", "long"),
+            "n_convs": ("approx_distinct", "conv_id", "long"),
+        },
+    )
+    down = create_view_table(spark, str(tmp_path / "v"), spec, 2)
+    # 4 roles x several convs each
+    rows = []
+    lsn = 0
+    for g in range(4):
+        for c in range(5):
+            rows.append((lsn, "I", f"c{g}_{c}", 0, f"role{g}", "x"))
+            lsn += 1
+    apply_batch(up, _ev(spark, rows), "b0", lsn_range_hint=(0, lsn - 1))
+    assert refresh_view(up, down, spec)["applied"]
+
+    # delete one conv from 3 of the 4 groups, insert into the 4th:
+    # 4 changed groups, 3 need the sketch-removal fallback (>= 50%)
+    evs = [
+        (100, "D", "c0_0", 0, None, None),
+        (101, "D", "c1_0", 0, None, None),
+        (102, "D", "c2_0", 0, None, None),
+        (103, "I", "c3_9", 0, "role3", "y"),
+    ]
+    apply_batch(up, _ev(spark, evs), "b1", lsn_range_hint=(100, 103))
+    r = refresh_view(up, down, spec)
+    assert r["applied"]
+    assert r["mode"] == "algebraic->recompute", r
+    assert r["fallback_groups"] == 3, r
+    got = {
+        r_.role: (r_.n_turns, r_.n_convs)
+        for r_ in down.read(user_cols=True)
+        .select("role", "n_turns", "n_convs").collect()
+    }
+    want = {
+        r_.role: (r_.n_turns, r_.n_convs)
+        for r_ in full_compute(spec, up.read(user_cols=True))
+        .select("role", "n_turns", "n_convs").collect()
+    }
+    assert got == want
+
+    # insert-mostly tick: 1 fallback of 4 changed groups stays on the
+    # two-plan algebraic path
+    evs = [
+        (200, "I", "c0_9", 0, "role0", "z"),
+        (201, "I", "c1_9", 0, "role1", "z"),
+        (202, "I", "c2_9", 0, "role2", "z"),
+        (203, "D", "c3_0", 0, None, None),
+    ]
+    apply_batch(up, _ev(spark, evs), "b2", lsn_range_hint=(200, 203))
+    r = refresh_view(up, down, spec)
+    assert r["applied"] and r["mode"] == "algebraic", r
+    assert r["fallback_groups"] == 1, r
+    got = {
+        r_.role: (r_.n_turns, r_.n_convs)
+        for r_ in down.read(user_cols=True)
+        .select("role", "n_turns", "n_convs").collect()
+    }
+    want = {
+        r_.role: (r_.n_turns, r_.n_convs)
+        for r_ in full_compute(spec, up.read(user_cols=True))
+        .select("role", "n_turns", "n_convs").collect()
+    }
+    assert got == want
