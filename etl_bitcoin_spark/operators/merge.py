@@ -385,6 +385,47 @@ def sparse_lsn_islands(distinct_lsns: DataFrame) -> list[list[int]]:
     return _merge_ranges([[int(r["lo"]), int(r["hi"])] for r in rows])
 
 
+# raw-plan lineage: batches at or below this many rows compute their
+# distinct-lsn islands on the DRIVER from the staged delta files (a few
+# small column reads + numpy — microseconds, no Spark job); larger
+# batches (bulk backfills through the raw plan) run the distributed
+# islands job over the same files. 5M longs = 40 MB driver peak.
+RAW_LINEAGE_DRIVER_MAX = 5_000_000
+
+
+def _staged_lsn_islands(spark, staged_files: list[str], n_rows: int):
+    """Exact distinct-lsn islands of a freshly-staged raw delta batch,
+    read from the staged files themselves — duplicates and gaps are
+    OBSERVED, never inferred from counts, so the raw plan needs no
+    uniqueness contract from the producer."""
+    import numpy as np
+
+    if n_rows <= RAW_LINEAGE_DRIVER_MAX:
+        import pyarrow.parquet as pq
+
+        cols = [
+            pq.read_table(p, columns=[LSN_COL])[LSN_COL]
+            .to_numpy(zero_copy_only=False)
+            for p in staged_files
+        ]
+        u = (
+            np.unique(np.concatenate(cols)) if cols
+            else np.array([], dtype="int64")
+        )
+        if not len(u):
+            return []
+        brk = np.flatnonzero(np.diff(u) > 1)
+        lo = np.concatenate(([u[0]], u[brk + 1]))
+        hi = np.concatenate((u[brk], [u[-1]]))
+        return [[int(a), int(b)] for a, b in zip(lo, hi)]
+    df = (
+        spark.read.parquet(*staged_files)
+        .select(F.col(LSN_COL).alias("lsn"))
+        .distinct()
+    )
+    return sparse_lsn_islands(df)
+
+
 def apply_batch(
     lake: LakeTable,
     events: DataFrame,
@@ -394,6 +435,7 @@ def apply_batch(
     lsn_range_hint: tuple[int, int] | None = None,
     merge_mode: str = "write",
     merge_strategy: str = "window",
+    delta_plan: str = "summary",
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the lake table.
 
@@ -418,6 +460,25 @@ def apply_batch(
     rides whichever pre-job the path already runs (the stats agg, or
     the bucket-discovery job); paths with no pre-job resolve to window.
 
+    ``delta_plan`` (merge_mode="read" only): "summary" collapses the
+    batch to per-key rows through the resolution window (one exchange +
+    one sort, one delta file per touched BUCKET); "raw" appends the
+    batch's rows AS the delta — NO exchange, NO sort, a single narrow
+    write job emitting one shared file per bucket GROUP (the per-batch
+    floor at 64 buckets was the 64 parquet-writer setups, ~20 ms each —
+    profiled, not the shuffle). STATE is identical either way:
+    read-time resolution applies the same LWW algebra to whatever
+    candidate rows the deltas hold, so raw deltas resolve exactly like
+    summaries (they just carry one row per EVENT instead of per key —
+    the right trade at ~1 event/key, the CDC steady state; the
+    streaming tailer flips back to "summary" when the ridden
+    multiplicity signal reports a storm). LINEAGE under "raw" is EXACT
+    with no producer contract: the per-batch distinct-lsn islands are
+    computed from the freshly-staged delta files themselves (driver-
+    side numpy over the lsn column for normal batches, a distributed
+    job past RAW_LINEAGE_DRIVER_MAX rows), so in-batch duplicates and
+    gaps are both observed directly instead of inferred from counts.
+
     Multi-writer note: concurrent writers with interleaved lsn ranges
     MUST pass an ``already_applied_filter`` (state.ExactlyOnceFilter) —
     the default ordered-replay fast path (``lsn > hwm``) assumes batches
@@ -426,6 +487,8 @@ def apply_batch(
     itself is CAS-protected: disjoint-bucket writers rebase, overlapping
     writers get CommitConflict and must recompute.
     """
+    if delta_plan not in ("summary", "raw"):
+        raise ValueError(f"unknown delta_plan {delta_plan!r}")
     snap = lake.snapshot()
     if lake._batch_applied(snap, batch_id):
         return {"applied": False, "reason": "duplicate batch_id"}
@@ -441,6 +504,62 @@ def apply_batch(
         # Ordered-replay fast path: batches are guaranteed ordered LSN
         # ranges, so everything at or below the HWM is a duplicate.
         ev = ev.filter(F.col("lsn") > F.lit(hwm))
+
+    if merge_mode == "read" and delta_plan == "raw":
+        # Sub-second fast path: NO exchange, NO sort — the guarded
+        # batch appends AS the delta in one shared file per bucket
+        # group (see docstring). The multiplicity sketch (approx nk)
+        # rides the write so the tailer's sticky signal flips a storm
+        # back to the summary plan; exact lineage comes from the staged
+        # files themselves.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        content = (
+            events_as_rows(ev)
+            .withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_rows"),
+                F.approx_count_distinct(
+                    F.concat_ws("\x1f", *KEY_COLS)
+                ).alias("nk"),
+            )
+        )
+        out: dict[str, Any] = {}
+
+        def _lineage(staged_files):
+            got = obs.get
+            n_rows = int(got["n_rows"] or 0)
+            nk = int(got["nk"] or 0)
+            out["delta_plan"] = "raw"
+            if n_rows == 0:
+                out["events"] = 0
+                out["multiplicity"] = 1.0
+                return None, None
+            islands = _staged_lsn_islands(
+                lake.spark, staged_files, n_rows
+            )
+            n = sum(hi_ - lo_ + 1 for lo_, hi_ in islands)
+            out["events"] = n
+            out["multiplicity"] = (n / nk) if nk else 1.0
+            out["lsn_range"] = [islands[0][0], islands[-1][1]]
+            if lsn_range_hint is not None:
+                return lsn_range_hint, None
+            if len(islands) == 1:
+                return tuple(islands[0]), None
+            return None, islands
+
+        ok = lake.commit(
+            content,
+            [],
+            batch_id,
+            metrics={"merge_mode": "read", "delta_plan": "raw"},
+            mode="delta",
+            lineage_fn=_lineage,
+            group_files=True,
+        )
+        return {"applied": ok, **out}
 
     if merge_mode == "read":
         # Merge-on-read latency path: ONE Spark job per micro-batch.
@@ -475,7 +594,7 @@ def apply_batch(
         ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
         out: dict[str, Any] = {}
 
-        def _lineage():
+        def _lineage(_staged):
             got = obs.get
             n_rows = int(got["n_rows"] or 0)
             n = n_rows - int(got["n_dup"] or 0)
@@ -532,7 +651,7 @@ def apply_batch(
         ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
         out: dict[str, Any] = {}
 
-        def _lineage():
+        def _lineage(_staged):
             got = obs.get
             n_rows = int(got["n_rows"] or 0)
             n = n_rows - int(got["n_dup"] or 0)

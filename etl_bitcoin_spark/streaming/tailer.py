@@ -53,6 +53,7 @@ class BinlogTailer:
         compact_policy: str = "inline",
         compact_max_buckets: int | None = None,
         views: list | None = None,
+        delta_plan: str = "auto",
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -94,6 +95,22 @@ class BinlogTailer:
         # algebra — changed-groups-only, exactly-once via the relay
         # cursor, so a crash-replayed trigger re-ticks as a no-op).
         self.views = list(views or [])
+        # Merge-on-read delta plan (operators.merge apply_batch
+        # delta_plan docstring): "summary" collapses each batch through
+        # the resolution window (one file per bucket); "raw" appends
+        # the batch as-is in one shared file per bucket GROUP — no
+        # exchange, no sort, the sub-second path; "auto" (default)
+        # engages raw STICKILY: each batch's ridden multiplicity
+        # signal decides the next batch's plan, so an update storm
+        # (multiplicity >> 1, where raw deltas would carry one row per
+        # EVENT instead of per key) flips back to the summary window
+        # within one batch. Correctness never depends on the choice —
+        # read-time resolution speaks the same LWW algebra over either
+        # delta shape, and raw lineage is exact (staged-file islands).
+        if delta_plan not in ("summary", "raw", "auto"):
+            raise ValueError(f"unknown delta_plan {delta_plan!r}")
+        self.delta_plan = delta_plan
+        self._raw_ok = delta_plan in ("raw", "auto")
         self._maint = None  # lazy single-thread executor (async policy)
         self._maint_fut = None
         # "window" (default), "agg" (the update-storm strategy), or
@@ -223,11 +240,22 @@ class BinlogTailer:
                     assume_all_buckets=self.assume_all_buckets,
                     merge_mode="read" if self.merge_on_read else "write",
                     merge_strategy=self.merge_strategy,
+                    delta_plan=(
+                        "raw"
+                        if (self.merge_on_read and self._raw_ok)
+                        else "summary"
+                    ),
                 )
                 break
             except CommitConflict:
                 if attempt == 2:
                     raise
+        if self.delta_plan == "auto":
+            # sticky plan update: raw stays engaged while the measured
+            # events-per-key multiplicity is ~1 (HLL error tolerance);
+            # empty batches carry no signal and keep the current plan
+            if res.get("events"):
+                self._raw_ok = res.get("multiplicity", 1.0) <= 1.1
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])
         if (

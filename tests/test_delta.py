@@ -254,3 +254,107 @@ def test_compact_deltas_nibble_mode(spark, tmp_path):
         for r in lake.read(user_cols=True).collect()
     )
     assert after == before
+
+
+def test_raw_group_deltas_share_files_and_bucket_reads_stay_exact(
+    spark, tmp_path
+):
+    """Raw-plan deltas land ONE shared file per bucket GROUP: the
+    manifest registers it in every member bucket, read() dedupes it and
+    filters rows to the requested buckets, and compaction folds a
+    victim's rows out without breaking sibling references."""
+    from datetime import datetime
+
+    from etl_bitcoin_spark.operators.merge import (
+        KEY_COLS, TRANSCRIPTS_DDL, apply_batch,
+    )
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 128
+    )
+    ev = spark.createDataFrame(
+        [(i, "I", f"c{i}", 0, "user", f"t{i}", None,
+          datetime(2024, 1, 1)) for i in range(200)],
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp",
+    ).coalesce(1)
+    r = apply_batch(lake, ev, "b0", merge_mode="read", delta_plan="raw")
+    assert r["applied"] and r["events"] == 200
+    ent = lake.bucket_entries()
+    all_files = {f for e in ent.values() for f in e["deltas"]}
+    # group_size = GROUP_SIZE = 64 at 128 buckets -> 2 groups -> 2
+    # shared files from the single input partition
+    assert len(all_files) == 2, all_files
+    assert all(len(e["deltas"]) == 1 for e in ent.values())
+
+    # bucket-pruned read returns ONLY that bucket's rows despite the
+    # shared file holding 64 buckets' rows
+    from pyspark.sql import functions as F
+
+    full = lake.read(user_cols=True)
+    assert full.count() == 200
+    by_bucket = (
+        full.withColumn("bkt", lake.bucket_expr(128, KEY_COLS))
+        .groupBy("bkt").agg(F.collect_set("conv_id").alias("cs"))
+        .collect()
+    )
+    # pick a bucket that actually holds rows (most of the 128 member
+    # buckets of a shared file hold none at 200 convs)
+    some = max(by_bucket, key=lambda r_: len(r_.cs))
+    one = lake.read(buckets=[int(some.bkt)], user_cols=True)
+    got = {r_.conv_id for r_ in one.collect()}
+    assert got == set(some.cs) and 0 < len(got) < 200
+
+    # compaction folds every over-policy bucket; state unchanged
+    c = lake.compact_deltas(0)
+    assert c["applied"]
+    assert lake.read(user_cols=True).count() == 200
+    assert all(
+        len(e["deltas"]) == 0 for e in lake.bucket_entries().values()
+    )
+
+
+def test_raw_plan_inbatch_dup_lsn_never_masks_a_gap(spark, tmp_path):
+    """The adversarial lineage case for any count-based density check:
+    a batch with lsns [1,2,2,4] has row count == span, but lsn 3 was
+    never delivered. The raw plan's staged-file islands observe the
+    gap directly — lsn 3 must still apply later."""
+    from datetime import datetime
+
+    from etl_bitcoin_spark.operators.merge import (
+        KEY_COLS, TRANSCRIPTS_DDL, apply_batch,
+    )
+    from etl_bitcoin_spark.state import ExactlyOnceFilter
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(l, "I", c, 0, "user", t, None, datetime(2024, 1, 1, 0, 0, l))
+             for (l, c, t) in rows],
+            "lsn long, op string, conv_id string, turn_idx int,"
+            " role string, text string, tool string, ts timestamp",
+        )
+
+    guard = ExactlyOnceFilter(lake.lineage(), None)
+    r = apply_batch(
+        lake, ev([(1, "a", "x"), (2, "b", "y"), (2, "b", "y"),
+                  (4, "c", "z")]),
+        "dup-gap", already_applied_filter=guard,
+        merge_mode="read", delta_plan="raw",
+    )
+    assert r["applied"] and r["events"] == 3, r
+    assert lake.lineage()["applied_ranges"] == [[1, 2], [4, 4]]
+    guard = ExactlyOnceFilter(lake.lineage(), None)
+    r2 = apply_batch(
+        lake, ev([(3, "d", "late")]), "gap-fill",
+        already_applied_filter=guard, merge_mode="read",
+        delta_plan="raw",
+    )
+    assert r2["applied"] and r2["events"] == 1
+    assert lake.lineage()["applied_ranges"] == [[1, 4]]
+    assert lake.read(user_cols=True).count() == 4

@@ -519,3 +519,115 @@ def test_stop_time_compaction_enforced_on_second_run(spark, tmp_path, binlog_pdf
         "second run's final pass was absorbed as a replay"
     )
     _check(lake, binlog_pdf)
+
+
+def test_raw_delta_plan_converges_and_flips_on_storm(spark, tmp_path):
+    """delta_plan="auto" engages the no-exchange/no-sort RAW delta plan
+    while multiplicity stays ~1 event/key; resolved state equals the
+    oracle exactly (read-time resolution speaks the same LWW algebra
+    over raw rows as over summaries); an update storm flips the next
+    batch back to the summary plan."""
+    from pyspark.sql import functions as F
+
+    pdf = generate_binlog(
+        BinlogSpec(seed=31, n_convs=40, n_events=800, n_segments=4,
+                   dup_rate=0.0)
+    )
+    wal = str(tmp_path / "wal")
+    write_segments(pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    tailer = BinlogTailer(
+        spark, wal, lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, merge_on_read=True,
+        compact_max_deltas=64, delta_plan="auto",
+    )
+    results = tailer.run_available()
+    assert sum(r.get("events", 0) for r in results) == 800
+    # ~1 event/key per segment at 40 convs x 200 events... multiplicity
+    # is > 1 here, so just assert the FIRST batch ran raw and the plan
+    # then followed the measured signal
+    assert results[0].get("delta_plan") == "raw", results[0]
+    _check(lake, pdf)
+
+    # storm continuation: many events, few keys -> the batch after the
+    # storm must run the summary plan
+    import pandas as pd
+
+    storm = pd.DataFrame({
+        "lsn": range(1000, 1500),
+        "op": ["U"] * 500,
+        "conv_id": ["conv_storm"] * 500,
+        "turn_idx": pd.array([0] * 500, dtype="int32"),
+        "role": ["user"] * 500,
+        "text": [f"s{i}" for i in range(500)],
+        "tool": [None] * 500,
+        "ts": pd.to_datetime(range(1000, 1500), unit="s").astype("datetime64[us]"),
+        "seg": [4] * 500,
+        "evolved": [True] * 500,
+    })
+    tail = pd.DataFrame({
+        "lsn": [1500], "op": ["I"], "conv_id": ["conv_after"],
+        "turn_idx": pd.array([0], dtype="int32"),
+        "role": ["user"], "text": ["after"],
+        "tool": [None],
+        "ts": pd.to_datetime([1500], unit="s").astype("datetime64[us]"),
+        "seg": [5], "evolved": [True],
+    })
+    write_segments(pd.concat([storm, tail]), wal)
+    t2 = BinlogTailer(
+        spark, wal, lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, merge_on_read=True,
+        compact_max_deltas=64, delta_plan="auto",
+    )
+    r2 = t2.run_available()
+    assert sum(r.get("events", 0) for r in r2) == 501
+    by_plan = [r.get("delta_plan", "summary") for r in r2]
+    # storm batch itself may run raw (signal is sticky/lagged), but the
+    # batch AFTER it must have flipped to summary
+    assert by_plan[-1] == "summary", (by_plan, r2)
+    st = lake.read(user_cols=True).filter(
+        F.col("conv_id").isin("conv_storm", "conv_after")
+    ).collect()
+    vals = {r.conv_id: r.text for r in st}
+    assert vals == {"conv_storm": "s499", "conv_after": "after"}
+
+
+def test_raw_delta_plan_sparse_batch_records_exact_islands(spark, tmp_path):
+    """A sparse (gapped) batch under the raw plan must record its exact
+    lsn islands — a later delivery of a gap lsn still applies."""
+    from etl_bitcoin_spark.operators.merge import apply_batch
+    from etl_bitcoin_spark.state import ExactlyOnceFilter
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 4
+    )
+    from datetime import datetime
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(l, "I", c, 0, "user", t, None, datetime(2024, 1, 1, 0, 0, l))
+             for (l, c, t) in rows],
+            "lsn long, op string, conv_id string, turn_idx int,"
+            " role string, text string, tool string, ts timestamp",
+        )
+
+    guard = ExactlyOnceFilter(lake.lineage(), None)
+    r = apply_batch(
+        lake, ev([(1, "a", "x"), (2, "b", "y"), (5, "c", "z")]),
+        "raw-sparse", already_applied_filter=guard,
+        merge_mode="read", delta_plan="raw",
+    )
+    assert r["applied"] and r["events"] == 3
+    assert lake.lineage()["applied_ranges"] == [[1, 2], [5, 5]]
+    # the gap lsns 3,4 arrive later and must still apply
+    guard = ExactlyOnceFilter(lake.lineage(), None)
+    r2 = apply_batch(
+        lake, ev([(3, "d", "late3"), (4, "e", "late4")]),
+        "raw-gap", already_applied_filter=guard,
+        merge_mode="read", delta_plan="raw",
+    )
+    assert r2["applied"] and r2["events"] == 2
+    assert lake.lineage()["applied_ranges"] == [[1, 5]]
+    assert lake.read(user_cols=True).count() == 5
