@@ -401,13 +401,22 @@ def _staged_lsn_islands(spark, staged_files: list[str], n_rows: int):
     import numpy as np
 
     if n_rows <= RAW_LINEAGE_DRIVER_MAX:
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        cols = [
-            pq.read_table(p, columns=[LSN_COL])[LSN_COL]
-            .to_numpy(zero_copy_only=False)
-            for p in staged_files
-        ]
+        def _lsns(p):
+            return (
+                pq.read_table(p, columns=[LSN_COL])[LSN_COL]
+                .to_numpy(zero_copy_only=False)
+            )
+
+        # The GIL releases inside parquet decode, so threads cut the
+        # per-file setup tax (~2-5 ms x n_files serial) to ~one file's.
+        with ThreadPoolExecutor(
+            max_workers=min(16, max(1, len(staged_files)))
+        ) as ex:
+            cols = list(ex.map(_lsns, staged_files))
         u = (
             np.unique(np.concatenate(cols)) if cols
             else np.array([], dtype="int64")
@@ -463,10 +472,11 @@ def apply_batch(
     ``delta_plan`` (merge_mode="read" only): "summary" collapses the
     batch to per-key rows through the resolution window (one exchange +
     one sort, one delta file per touched BUCKET); "raw" appends the
-    batch's rows AS the delta — NO exchange, NO sort, a single narrow
-    write job emitting one shared file per bucket GROUP (the per-batch
-    floor at 64 buckets was the 64 parquet-writer setups, ~20 ms each —
-    profiled, not the shuffle). STATE is identical either way:
+    batch's rows AS the delta — the summary plan MINUS the sort and
+    the resolution window: one sort-free exchange (by bucket group
+    when the group count can absorb the parallelism — one shared file
+    per GROUP, so a 4096-bucket table writes 64 files/batch — else by
+    key hash, one file per bucket). STATE is identical either way:
     read-time resolution applies the same LWW algebra to whatever
     candidate rows the deltas hold, so raw deltas resolve exactly like
     summaries (they just carry one row per EVENT instead of per key —
@@ -506,14 +516,31 @@ def apply_batch(
         ev = ev.filter(F.col("lsn") > F.lit(hwm))
 
     if merge_mode == "read" and delta_plan == "raw":
-        # Sub-second fast path: NO exchange, NO sort — the guarded
-        # batch appends AS the delta in one shared file per bucket
-        # group (see docstring). The multiplicity sketch (approx nk)
-        # rides the write so the tailer's sticky signal flips a storm
-        # back to the summary plan; exact lineage comes from the staged
-        # files themselves.
+        # Sub-second fast path: NO sort, NO resolution window — the
+        # guarded batch appends AS the delta (see docstring). One
+        # round-robin-free exchange keeps the parquet ENCODE parallel
+        # (a streaming micro-batch arrives at scan width — often 1-2
+        # tasks — and single-task encoding of ~100k rows costs more
+        # than the exchange it saves; measured in BENCH/latency.md):
+        #   * n_groups >= the aligned width: partition by bucket GROUP
+        #     and write one shared file per group (big-bucket tables —
+        #     4096 buckets stay at 64 files/batch, not 4096);
+        #   * else: partition by key hash (aligned like the summary
+        #     plan) and write one file per touched bucket.
+        # The multiplicity sketch (approx nk) rides the write so the
+        # tailer's sticky signal flips a storm back to the summary
+        # plan; exact lineage comes from the staged files themselves.
         from pyspark.sql import Observation
 
+        p_conf = int(
+            lake.spark.conf.get("spark.sql.shuffle.partitions", "0") or 0
+        )
+        aligned = p_conf > 0 and (
+            n_buckets % p_conf == 0 or p_conf % n_buckets == 0
+        )
+        npart = p_conf if aligned else n_buckets
+        gs = snap["group_size"]
+        n_groups = (n_buckets + gs - 1) // gs
         obs = Observation()
         content = (
             events_as_rows(ev)
@@ -526,13 +553,40 @@ def apply_batch(
                 ).alias("nk"),
             )
         )
+        use_group_files = n_groups >= min(npart, 32)
+        if use_group_files:
+            content = content.repartition(
+                n_groups, F.expr(f"{BUCKET_COL} div {gs}")
+            )
+        else:
+            content = content.repartition(npart, *KEY_COLS)
         out: dict[str, Any] = {}
 
         def _lineage(staged_files):
-            got = obs.get
-            n_rows = int(got["n_rows"] or 0)
-            nk = int(got["nk"] or 0)
             out["delta_plan"] = "raw"
+            if not staged_files:
+                # Fully-duplicate batch: nothing staged. Don't touch the
+                # Observation — a foreachBatch plan that collapses to an
+                # empty relation (AQE empty propagation) drops the
+                # CollectMetrics node, so obs.get would see an EMPTY
+                # metrics row and raise.
+                out["events"] = 0
+                out["multiplicity"] = 1.0
+                return None, None
+            try:
+                got = obs.get
+                n_rows = int(got["n_rows"] or 0)
+                nk = int(got["nk"] or 0)
+            except Exception:
+                # Metrics node optimized out despite staged rows (defensive
+                # — not observed in practice): stay exact from the staged
+                # footers (local reads, ~0.5 ms/file).
+                import pyarrow.parquet as _pq
+
+                n_rows = sum(
+                    _pq.read_metadata(p).num_rows for p in staged_files
+                )
+                nk = 0
             if n_rows == 0:
                 out["events"] = 0
                 out["multiplicity"] = 1.0
@@ -557,7 +611,7 @@ def apply_batch(
             metrics={"merge_mode": "read", "delta_plan": "raw"},
             mode="delta",
             lineage_fn=_lineage,
-            group_files=True,
+            group_files=use_group_files,
         )
         return {"applied": ok, **out}
 

@@ -1276,14 +1276,20 @@ class LakeTable:
                 return True
         raise CommitConflict(f"lost 8 CAS races dropping {col} ({batch_id})")
 
-    def history(self) -> DataFrame:
+    def history(self, limit: int | None = None) -> DataFrame:
         """Commit history as a DataFrame (version, parent, batch_id,
         committed_at, metrics JSON) over the retained snapshots — the
         observability face of the manifest chain (Delta's DESCRIBE
-        HISTORY analog). Bounded by snapshot retention, so the driver
-        walk is O(retained versions), never O(all commits ever)."""
+        HISTORY analog). The driver walk is O(retained versions) —
+        bounded ONLY by snapshot-expiry discipline; a table that never
+        expires accumulates one JSON read per commit ever, so pass
+        ``limit`` (newest-first cap, like DESCRIBE HISTORY LIMIT) on
+        tables without an expiry policy."""
         rows = []
-        for v in self.versions():
+        vs = self.versions()
+        if limit is not None:
+            vs = sorted(vs)[-limit:]
+        for v in vs:
             m = self.snapshot(v)
             rows.append((
                 v, m.get("parent"), m.get("batch_id"),

@@ -259,16 +259,20 @@ def test_compact_deltas_nibble_mode(spark, tmp_path):
 def test_raw_group_deltas_share_files_and_bucket_reads_stay_exact(
     spark, tmp_path
 ):
-    """Raw-plan deltas land ONE shared file per bucket GROUP: the
-    manifest registers it in every member bucket, read() dedupes it and
-    filters rows to the requested buckets, and compaction folds a
-    victim's rows out without breaking sibling references."""
+    """Group-shared delta files (commit group_files=True — the raw
+    plan's big-bucket-table shape): the manifest registers one file per
+    bucket GROUP in every member bucket, read() dedupes it and filters
+    rows to the requested buckets, and compaction folds a victim's rows
+    out without breaking sibling references."""
     from datetime import datetime
 
+    from pyspark.sql import functions as F
+
     from etl_bitcoin_spark.operators.merge import (
-        KEY_COLS, TRANSCRIPTS_DDL, apply_batch,
+        KEY_COLS, TRANSCRIPTS_DDL, events_as_rows,
     )
     from etl_bitcoin_spark.tableformat import LakeTable
+    from etl_bitcoin_spark.tableformat.lake import BUCKET_COL
 
     lake = LakeTable.create(
         spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 128
@@ -279,8 +283,14 @@ def test_raw_group_deltas_share_files_and_bucket_reads_stay_exact(
         "lsn long, op string, conv_id string, turn_idx int, role string,"
         " text string, tool string, ts timestamp",
     ).coalesce(1)
-    r = apply_batch(lake, ev, "b0", merge_mode="read", delta_plan="raw")
-    assert r["applied"] and r["events"] == 200
+    content = events_as_rows(ev).withColumn(
+        BUCKET_COL, lake.bucket_expr(128, KEY_COLS)
+    )
+    ok = lake.commit(
+        content, [], "b0", mode="delta", lsn_range=(0, 199),
+        group_files=True,
+    )
+    assert ok
     ent = lake.bucket_entries()
     all_files = {f for e in ent.values() for f in e["deltas"]}
     # group_size = GROUP_SIZE = 64 at 128 buckets -> 2 groups -> 2

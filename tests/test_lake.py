@@ -783,6 +783,9 @@ def test_drop_column_and_history(spark, tmp_lake_dir):
     h = {r.version: r.batch_id for r in lake.history().collect()}
     assert h[lake.snapshot()["version"]] == "drop-tool"
     assert len(h) == len(lake.versions())
+    # newest-first cap for tables without an expiry policy
+    h2 = sorted(r.version for r in lake.history(limit=2).collect())
+    assert h2 == sorted(lake.versions())[-2:]
 
 
 def test_snapshot_tags_pin_through_expiry(spark, tmp_lake_dir):
