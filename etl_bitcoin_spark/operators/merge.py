@@ -473,10 +473,11 @@ def apply_batch(
     batch to per-key rows through the resolution window (one exchange +
     one sort, one delta file per touched BUCKET); "raw" appends the
     batch's rows AS the delta — the summary plan MINUS the sort and
-    the resolution window: one sort-free exchange (by bucket group
-    when the group count can absorb the parallelism — one shared file
-    per GROUP, so a 4096-bucket table writes 64 files/batch — else by
-    key hash, one file per bucket). STATE is identical either way:
+    the resolution window: one sort-free exchange into one even WAVE
+    of K tasks (K = cluster width capped by bucket count, K dividing
+    n_buckets) writing K mod-shard files registered across their
+    member buckets — a 4096-bucket table on 32 cores writes 32
+    files/batch, not 4096. STATE is identical either way:
     read-time resolution applies the same LWW algebra to whatever
     candidate rows the deltas hold, so raw deltas resolve exactly like
     summaries (they just carry one row per EVENT instead of per key —
@@ -518,29 +519,26 @@ def apply_batch(
     if merge_mode == "read" and delta_plan == "raw":
         # Sub-second fast path: NO sort, NO resolution window — the
         # guarded batch appends AS the delta (see docstring). One
-        # round-robin-free exchange keeps the parquet ENCODE parallel
-        # (a streaming micro-batch arrives at scan width — often 1-2
-        # tasks — and single-task encoding of ~100k rows costs more
-        # than the exchange it saves; measured in BENCH/latency.md):
-        #   * n_groups >= the aligned width: partition by bucket GROUP
-        #     and write one shared file per group (big-bucket tables —
-        #     4096 buckets stay at 64 files/batch, not 4096);
-        #   * else: partition by key hash (aligned like the summary
-        #     plan) and write one file per touched bucket.
+        # sort-free exchange into K = one even WAVE of tasks (cluster
+        # width, capped by bucket count) keeps the parquet ENCODE
+        # parallel while collapsing per-batch overhead to K files
+        # (mod-shard registration — profiled: at 64 buckets / 8 cores /
+        # 125k rows, 8 shard files write in 0.77 s where 64 per-bucket
+        # files from 32 tasks took 1.14 s; task launches and parquet
+        # writer setups were the floor, not the exchange). K must
+        # divide n_buckets so task t holds exactly shard t; a
+        # pathological bucket count (largest divisor 1) falls back to
+        # per-bucket files at the configured shuffle width.
         # The multiplicity sketch (approx nk) rides the write so the
         # tailer's sticky signal flips a storm back to the summary
         # plan; exact lineage comes from the staged files themselves.
         from pyspark.sql import Observation
 
-        p_conf = int(
-            lake.spark.conf.get("spark.sql.shuffle.partitions", "0") or 0
+        width = max(1, int(lake.spark.sparkContext.defaultParallelism))
+        cap = min(width, n_buckets)
+        shard_k = next(
+            (d for d in range(cap, 0, -1) if n_buckets % d == 0), 1
         )
-        aligned = p_conf > 0 and (
-            n_buckets % p_conf == 0 or p_conf % n_buckets == 0
-        )
-        npart = p_conf if aligned else n_buckets
-        gs = snap["group_size"]
-        n_groups = (n_buckets + gs - 1) // gs
         obs = Observation()
         content = (
             events_as_rows(ev)
@@ -553,13 +551,17 @@ def apply_batch(
                 ).alias("nk"),
             )
         )
-        use_group_files = n_groups >= min(npart, 32)
-        if use_group_files:
-            content = content.repartition(
-                n_groups, F.expr(f"{BUCKET_COL} div {gs}")
-            )
+        if shard_k > 1:
+            # K | n_buckets: partitions ARE the shards (see comment)
+            content = content.repartition(shard_k, *KEY_COLS)
         else:
-            content = content.repartition(npart, *KEY_COLS)
+            p_conf = int(
+                lake.spark.conf.get("spark.sql.shuffle.partitions", "0")
+                or 0
+            )
+            content = content.repartition(
+                p_conf or n_buckets, *KEY_COLS
+            )
         out: dict[str, Any] = {}
 
         def _lineage(staged_files):
@@ -611,7 +613,8 @@ def apply_batch(
             metrics={"merge_mode": "read", "delta_plan": "raw"},
             mode="delta",
             lineage_fn=_lineage,
-            group_files=use_group_files,
+            shard_mod=shard_k if shard_k > 1 else None,
+            compression="zstd",
         )
         return {"applied": ok, **out}
 

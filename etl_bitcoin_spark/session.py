@@ -64,6 +64,32 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
+    if (extra_conf or {}).get("spark.scheduler.mode") == "FAIR" and (
+        not (extra_conf or {}).get("spark.scheduler.allocation.file")
+    ):
+        # Weighted pools for FAIR mode: live micro-batch triggers get
+        # 8x the share of background maintenance (async compaction,
+        # state IO). Equal-weight FAIR halves the trigger's cores
+        # whenever a compaction pass overlaps — measured as 2x p50
+        # spikes in BENCH/latency.md; weighting keeps maintenance
+        # running without starving the latency path.
+        import tempfile
+
+        alloc = os.path.join(tempfile.gettempdir(), "spark_graft_pools.xml")
+        with open(alloc, "w") as f:
+            f.write(
+                "<?xml version=\"1.0\"?>\n<allocations>\n"
+                "  <pool name=\"live\">\n"
+                "    <schedulingMode>FIFO</schedulingMode>\n"
+                "    <weight>8</weight>\n    <minShare>1</minShare>\n"
+                "  </pool>\n"
+                "  <pool name=\"maintenance\">\n"
+                "    <schedulingMode>FIFO</schedulingMode>\n"
+                "    <weight>1</weight>\n    <minShare>0</minShare>\n"
+                "  </pool>\n"
+                "</allocations>\n"
+            )
+        b = b.config("spark.scheduler.allocation.file", alloc)
     # Experiment hook: SPARK_GRAFT_EXTRA_CONF='{"spark.x": "y"}' lets the
     # scaling harness A/B spark confs without code edits.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")

@@ -36,6 +36,12 @@ from ..operators.merge import BINLOG_DDL, apply_batch
 from ..state import ExactlyOnceFilter, LsnBloom
 from ..tableformat.lake import LakeTable
 
+# delta_plan="auto" storm threshold: raw stays engaged while the
+# measured events-per-key multiplicity of a batch is at or below this
+# (see the sticky-plan comment in BinlogTailer._apply for the cost
+# model behind the value)
+RAW_MULT_MAX = 2.0
+
 
 class BinlogTailer:
     def __init__(
@@ -98,15 +104,16 @@ class BinlogTailer:
         # Merge-on-read delta plan (operators.merge apply_batch
         # delta_plan docstring): "summary" collapses each batch through
         # the resolution window (one file per bucket); "raw" appends
-        # the batch as-is in one shared file per bucket GROUP — no
-        # exchange, no sort, the sub-second path; "auto" (default)
-        # engages raw STICKILY: each batch's ridden multiplicity
-        # signal decides the next batch's plan, so an update storm
-        # (multiplicity >> 1, where raw deltas would carry one row per
-        # EVENT instead of per key) flips back to the summary window
-        # within one batch. Correctness never depends on the choice —
-        # read-time resolution speaks the same LWW algebra over either
-        # delta shape, and raw lineage is exact (staged-file islands).
+        # the batch as-is in one mod-shard file per write task — no
+        # sort, no resolution window, the sub-second path; "auto"
+        # (default) engages raw STICKILY: each batch's ridden
+        # multiplicity signal decides the next batch's plan, so an
+        # update storm (multiplicity >> RAW_MULT_MAX, where raw deltas
+        # would carry many rows per key) flips back to the summary
+        # window within one batch. Correctness never depends on the
+        # choice — read-time resolution speaks the same LWW algebra
+        # over either delta shape, and raw lineage is exact
+        # (staged-file islands).
         if delta_plan not in ("summary", "raw", "auto"):
             raise ValueError(f"unknown delta_plan {delta_plan!r}")
         self.delta_plan = delta_plan
@@ -221,6 +228,15 @@ class BinlogTailer:
     def _apply(self, batch_df, batch_id: int) -> None:
         from ..tableformat.lake import CommitConflict
 
+        # Trigger jobs run in the weighted "live" FAIR pool (8x the
+        # maintenance pool's share — see session.get_spark): an async
+        # compaction pass overlapping this trigger yields cores to the
+        # latency path instead of halving it. No-op under FIFO mode
+        # (the pool name is ignored). Thread-local, set once per batch
+        # on the stream-execution thread.
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "live"
+        )
         # A maintenance commit (rescale, compaction) can land between
         # this batch's snapshot read and its CAS publish; apply_batch
         # then raises CommitConflict instead of writing against a stale
@@ -252,10 +268,21 @@ class BinlogTailer:
                     raise
         if self.delta_plan == "auto":
             # sticky plan update: raw stays engaged while the measured
-            # events-per-key multiplicity is ~1 (HLL error tolerance);
-            # empty batches carry no signal and keep the current plan
+            # events-per-key multiplicity stays below RAW_MULT_MAX;
+            # empty batches carry no signal and keep the current plan.
+            # The threshold is a storm detector, NOT a uniqueness test:
+            # a live CDC tail routinely runs 1.3-1.5 events/key in a
+            # 125k-event batch (in-batch updates), and raw still wins
+            # there — it encodes mult x key-rows but skips the summary
+            # sort and per-key collapse. Past ~2 events/key the delta
+            # bloat (read amplification + compaction fold volume) costs
+            # more than the sort it saves, so the summary window takes
+            # over; the summary job keeps reporting multiplicity, so
+            # the end of a storm re-engages raw within one batch.
             if res.get("events"):
-                self._raw_ok = res.get("multiplicity", 1.0) <= 1.1
+                self._raw_ok = (
+                    res.get("multiplicity", 1.0) <= RAW_MULT_MAX
+                )
         if res.get("applied") and res.get("lsn_range"):
             self._save_bloom(bloom, res["lsn_range"])
         if (

@@ -710,6 +710,8 @@ class LakeTable:
         new_n_buckets: int | None = None,
         max_records_per_file: int | None = None,
         group_files: bool = False,
+        shard_mod: int | None = None,
+        compression: str | None = None,
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -744,6 +746,17 @@ class LakeTable:
         becomes an apportioned estimate (group-exact); ``n_deltas`` —
         the read-amp policy signal — stays exact per bucket.
 
+        ``shard_mod=K`` (delta mode only, exclusive with group_files)
+        is the mod-shard variant: one file per shard ``s`` holding
+        buckets ``{b : b % K == s}``, registered in every member
+        bucket. With ``K | n_buckets`` and the content repartitioned by
+        the key columns into K partitions, task t holds exactly shard t
+        (``pmod(hash, nb) % K == pmod(hash, K)``), so the write is ONE
+        even wave of K tasks emitting K files — the per-batch floor for
+        sub-second raw delta appends (K = cluster width, not bucket
+        count). Read/compaction/GC semantics are identical to group
+        sharing (path-level dedupe + derived-bucket row filters).
+
         **Multi-writer protocol** (Iceberg-style optimistic): data files
         stage once; the manifest publish is a CAS on the version number.
         Losing the race triggers a REBASE. Append/delta commits ALWAYS
@@ -758,6 +771,13 @@ class LakeTable:
             raise ValueError(f"{mode} mode cannot replace buckets")
         if group_files and mode != "delta":
             raise ValueError("group_files requires mode='delta'")
+        if shard_mod is not None:
+            if mode != "delta":
+                raise ValueError("shard_mod requires mode='delta'")
+            if group_files:
+                raise ValueError("shard_mod and group_files are exclusive")
+            if shard_mod < 1:
+                raise ValueError("shard_mod must be >= 1")
         if new_n_buckets is not None and mode != "replace":
             raise ValueError("bucket rescale requires a replace commit")
         prev = self.snapshot()
@@ -789,7 +809,25 @@ class LakeTable:
             new_content = new_content.withColumn(
                 part_col, F.expr(f"cast({BUCKET_COL} div {gs} as int)")
             ).drop(BUCKET_COL)
+        elif shard_mod is not None:
+            # one file per MOD-SHARD: shard s holds buckets {b : b %
+            # shard_mod == s} — registered in each member's delta list
+            # like a group-shared file. When shard_mod divides n_buckets
+            # AND the writer repartitioned by the key columns into
+            # shard_mod partitions, task t holds exactly shard t
+            # (pmod(hash, nb) % K == pmod(hash, K) for K | nb): one
+            # even write wave, no partition-hash collisions.
+            part_col = "__dshard"
+            new_content = new_content.withColumn(
+                part_col, F.expr(f"cast({BUCKET_COL} % {shard_mod} as int)")
+            ).drop(BUCKET_COL)
         writer = new_content.write.mode("overwrite").partitionBy(part_col)
+        if compression is not None:
+            # per-commit codec override (e.g. zstd for transient raw
+            # deltas: ~25% less encode wall AND ~35% fewer bytes than
+            # the snappy default at 125k-row batches — profiled;
+            # compaction folds them into default-codec base files)
+            writer = writer.option("compression", compression)
         if max_records_per_file is not None:
             # split each task's (key-sorted) output into sequential
             # files: with clustered input this yields key-DISJOINT file
@@ -954,15 +992,21 @@ class LakeTable:
                     ]
         for info in per_bucket.values():
             info["files"].sort()
-        if group_files:
-            # expand each group's shared file to EVERY member bucket's
-            # delta list; rows are apportioned (group-exact, per-bucket
-            # estimate) — n_deltas, the policy signal, stays exact
+        if group_files or shard_mod is not None:
+            # expand each shared file (bucket GROUP or mod-SHARD) to
+            # EVERY member bucket's delta list; rows are apportioned
+            # (shard-exact, per-bucket estimate) — n_deltas, the policy
+            # signal, stays exact
             gs = prev["group_size"]
             nb = prev["n_buckets"]
             expanded: dict[str, dict] = {}
             for g, info in per_bucket.items():
-                members = list(range(int(g) * gs, min((int(g) + 1) * gs, nb)))
+                if shard_mod is not None:
+                    members = list(range(int(g), nb, shard_mod))
+                else:
+                    members = list(
+                        range(int(g) * gs, min((int(g) + 1) * gs, nb))
+                    )
                 n_m = max(1, len(members))
                 for j, b in enumerate(members):
                     share = info["rows"] // n_m + (
@@ -1033,8 +1077,11 @@ class LakeTable:
             for b in replaced_buckets:
                 new_ptrs[str(b)] = None  # dropped unless re-added below
             for b, info in per_bucket.items():
-                if info["rows"] <= 0 and mode != "replace" and not group_files:
-                    # (group_files: a zero APPORTIONED share still means
+                if (
+                    info["rows"] <= 0 and mode != "replace"
+                    and not group_files and shard_mod is None
+                ):
+                    # (shared files: a zero APPORTIONED share still means
                     # the shared file may hold this bucket's rows — the
                     # reference must be registered regardless)
                     continue

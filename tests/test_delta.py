@@ -368,3 +368,82 @@ def test_raw_plan_inbatch_dup_lsn_never_masks_a_gap(spark, tmp_path):
     assert r2["applied"] and r2["events"] == 1
     assert lake.lineage()["applied_ranges"] == [[1, 4]]
     assert lake.read(user_cols=True).count() == 4
+
+
+def test_raw_mod_shard_files_register_members_and_stay_exact(
+    spark, tmp_path
+):
+    """The raw plan's mod-shard write (commit shard_mod=K): one file
+    per shard s holding buckets {b : b % K == s}, registered in every
+    member bucket. Each partition holds EXACTLY one shard (K divides
+    n_buckets, key-hash partitioning), bucket-pruned reads stay exact
+    through the shared files, and compaction folds them away."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.operators.merge import (
+        KEY_COLS, TRANSCRIPTS_DDL, apply_batch,
+    )
+    from etl_bitcoin_spark.state import ExactlyOnceFilter
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    nb = 64
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, nb
+    )
+    ev = spark.createDataFrame(
+        [(i, "I", f"c{i % 300}", i // 300, "user", f"t{i}", None,
+          datetime(2024, 1, 1)) for i in range(900)],
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp",
+    ).coalesce(1)
+    r = apply_batch(lake, ev, "b0", merge_mode="read", delta_plan="raw")
+    assert r["applied"] and r["events"] == 900
+
+    width = spark.sparkContext.defaultParallelism
+    cap = min(width, nb)
+    k = next(d for d in range(cap, 0, -1) if nb % d == 0)
+    ent = lake.bucket_entries()
+    all_files = {f for e in ent.values() for f in e["deltas"]}
+    # one file per shard; every bucket references exactly its shard's
+    assert len(all_files) <= k, (len(all_files), k)
+    for b, e in ent.items():
+        assert len(e["deltas"]) == 1, (b, e["deltas"])
+    # buckets of the same residue class share a file; different
+    # residues never do
+    by_file: dict[str, set[int]] = {}
+    for b, e in ent.items():
+        by_file.setdefault(e["deltas"][0], set()).add(int(b) % k)
+    assert all(len(res) == 1 for res in by_file.values()), by_file
+
+    # bucket-pruned read: only that bucket's rows despite sharing
+    full = lake.read(user_cols=True)
+    assert full.count() == 900
+    some = (
+        full.withColumn("bkt", lake.bucket_expr(nb, KEY_COLS))
+        .groupBy("bkt").count().orderBy(F.desc("count")).first()
+    )
+    one = lake.read(buckets=[int(some.bkt)], user_cols=True)
+    assert (
+        one.withColumn("bkt", lake.bucket_expr(nb, KEY_COLS))
+        .filter(F.col("bkt") != int(some.bkt)).count() == 0
+    )
+    assert 0 < one.count() < 900
+
+    # redelivery through the exact guard: nothing applied, no new files
+    r2 = apply_batch(
+        lake, ev, "b0-again", merge_mode="read", delta_plan="raw",
+        already_applied_filter=ExactlyOnceFilter(lake.lineage(), None),
+    )
+    assert r2.get("events", 0) == 0
+    assert {f for e in lake.bucket_entries().values()
+            for f in e["deltas"]} == all_files
+
+    # compaction folds the shared shard files; state unchanged
+    c = lake.compact_deltas(0)
+    assert c["applied"]
+    assert lake.read(user_cols=True).count() == 900
+    assert all(
+        len(e["deltas"]) == 0 for e in lake.bucket_entries().values()
+    )

@@ -631,3 +631,60 @@ def test_raw_delta_plan_sparse_batch_records_exact_islands(spark, tmp_path):
     assert r2["applied"] and r2["events"] == 2
     assert lake.lineage()["applied_ranges"] == [[1, 5]]
     assert lake.read(user_cols=True).count() == 5
+
+
+def test_raw_delta_plan_stays_engaged_at_moderate_multiplicity(
+    spark, tmp_path
+):
+    """A live CDC tail routinely carries 1.3-1.5 events/key per batch
+    (in-batch updates). That is NOT a storm: the raw plan must stay
+    engaged across such batches (threshold RAW_MULT_MAX=2, not a
+    uniqueness test — regression pin for the 1.1 threshold that
+    silently demoted every realistic tail to the summary plan)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    n_seg, per_seg, keys_per_seg = 3, 300, 200  # mult = 1.5 per batch
+    frames = []
+    for s in range(n_seg):
+        base = s * per_seg
+        convs = [f"c{s}_{i % keys_per_seg}" for i in range(per_seg)]
+        frames.append(pd.DataFrame({
+            "lsn": range(base, base + per_seg),
+            "op": ["I" if i < keys_per_seg else "U"
+                   for i in range(per_seg)],
+            "conv_id": convs,
+            "turn_idx": pd.array([0] * per_seg, dtype="int32"),
+            "role": ["user"] * per_seg,
+            "text": [f"t{base + i}" for i in range(per_seg)],
+            "tool": [None] * per_seg,
+            "ts": pd.to_datetime(
+                range(base, base + per_seg), unit="s"
+            ).astype("datetime64[us]"),
+            "seg": [s] * per_seg,
+            "evolved": [True] * per_seg,
+        }))
+    wal = str(tmp_path / "wal")
+    write_segments(pd.concat(frames), wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    tailer = BinlogTailer(
+        spark, wal, lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, merge_on_read=True,
+        compact_max_deltas=64, delta_plan="auto",
+    )
+    results = tailer.run_available()
+    assert sum(r.get("events", 0) for r in results) == n_seg * per_seg
+    plans = [r.get("delta_plan", "summary") for r in results
+             if r.get("events")]
+    assert plans and all(p == "raw" for p in plans), plans
+    mults = [round(r.get("multiplicity", 0), 2) for r in results
+             if r.get("events")]
+    assert all(1.2 < m <= 2.0 for m in mults), mults
+    # LWW winner per key is the LAST update; spot-check one
+    got = lake.read(user_cols=True).filter(
+        F.col("conv_id") == "c0_0"
+    ).collect()
+    assert len(got) == 1 and got[0].text == f"t{keys_per_seg}"
