@@ -75,8 +75,16 @@ def get_spark(
         # running without starving the latency path.
         import tempfile
 
-        alloc = os.path.join(tempfile.gettempdir(), "spark_graft_pools.xml")
-        with open(alloc, "w") as f:
+        # Unique per process (mkstemp), never a fixed shared path: on a
+        # multi-user host a same-named file owned by someone else would
+        # make open(...,'w') raise at session build, and concurrent
+        # sessions would clobber each other's allocation file. The one
+        # small file leaks per session build — bounded and harmless
+        # (tmp reaper territory), unlike either failure mode.
+        fd, alloc = tempfile.mkstemp(
+            prefix="spark_graft_pools_", suffix=".xml"
+        )
+        with os.fdopen(fd, "w") as f:
             f.write(
                 "<?xml version=\"1.0\"?>\n<allocations>\n"
                 "  <pool name=\"live\">\n"

@@ -74,6 +74,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import time
 import uuid
@@ -189,6 +190,26 @@ def _footer_minmax(md, col_name: str, cast) -> list | None:
         return None
 
 
+def _footer_val_stats(md, col_name: str) -> list | None:
+    """[floor(min), ceil(max)] of the declared stats_col. floor/ceil —
+    never int() — so a float/double stats_col WIDENS to the enclosing
+    integer range instead of truncating toward zero (int(2.7) -> 2 or
+    int(-1.5) -> -1 would NARROW the recorded range and let
+    ``read(secondary_range=...)`` wrongly prune a file holding in-range
+    rows — silent data loss). Non-numeric stats disable skipping for
+    the file, never correctness."""
+
+    def _num(v):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(type(v))
+        return v
+
+    st = _footer_minmax(md, col_name, _num)
+    if st is None:
+        return None
+    return [math.floor(st[0]), math.ceil(st[1])]
+
+
 def _footer_key_stats(md, key_col: str) -> list[str] | None:
     """[min, max] of the FIRST key column (string), same footer pass as
     the lsn stats — powers key-range file skipping: after a clustered
@@ -245,6 +266,26 @@ class LakeTable:
                 "stats_col duplicates a key column; the first key column"
                 " already has per-file stats"
             )
+        if stats_col is not None:
+            types = {
+                p.split(" ", 1)[0].strip(): p.split(" ", 1)[1].strip().lower()
+                for p in ddl_split(schema_ddl)
+                if " " in p
+            }
+            ty = types.get(stats_col)
+            if ty is None:
+                raise ValueError(
+                    f"stats_col {stats_col!r} is not a schema column"
+                )
+            if not ty.startswith((
+                "tinyint", "smallint", "short", "byte", "int", "bigint",
+                "long", "float", "double", "decimal",
+            )):
+                raise ValueError(
+                    f"stats_col {stats_col!r} must be numeric "
+                    f"(got {ty!r}): per-file [min,max] ranges are "
+                    "recorded as integers via floor/ceil"
+                )
         manifest = {
             "version": 1,
             "parent": None,
@@ -860,7 +901,7 @@ class LakeTable:
                 return (
                     b, os.path.join(rel, entry, fn), md.num_rows,
                     _footer_lsn_stats(md), _footer_key_stats(md, key0),
-                    None if scol is None else _footer_minmax(md, scol, int),
+                    None if scol is None else _footer_val_stats(md, scol),
                 )
 
             with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
@@ -927,11 +968,17 @@ class LakeTable:
                             return None
                     return v if isinstance(v, str) else None
 
-                def _i(v):
-                    try:
-                        return int(v)
-                    except (TypeError, ValueError):
+                def _v(v, up):
+                    # floor(min)/ceil(max) like the driver path
+                    # (_footer_val_stats): int() truncation toward zero
+                    # would NARROW a float stats range and mis-prune
+                    import math as _math
+
+                    if isinstance(v, bool) or not isinstance(
+                        v, (int, float)
+                    ):
                         return None
+                    return _math.ceil(v) if up else _math.floor(v)
 
                 for pdf in batches:
                     pdf = pdf.copy()
@@ -951,8 +998,8 @@ class LakeTable:
                         klos.append(klo)
                         khis.append(khi)
                         vst = None if scol is None else _minmax(md, scol)
-                        vlo = None if vst is None else _i(vst[0])
-                        vhi = None if vst is None else _i(vst[1])
+                        vlo = None if vst is None else _v(vst[0], False)
+                        vhi = None if vst is None else _v(vst[1], True)
                         if vlo is None or vhi is None:
                             vlo = vhi = None
                         vlos.append(vlo)

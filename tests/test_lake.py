@@ -945,3 +945,49 @@ def test_secondary_range_file_skipping(spark, tmp_path):
             spark, str(tmp_path / "bad"), ddl, ["ev_id"], 2,
             stats_col="ev_id",
         )
+
+
+def test_secondary_range_float_stats_widen_not_truncate(spark, tmp_path):
+    """A float/double stats_col records [floor(min), ceil(max)] — int()
+    truncation toward zero would NARROW the range (max 2.7 -> 2,
+    min -1.5 -> -1) and let secondary_range wrongly prune a file that
+    holds in-range rows (silent data loss). Pinned on both tails."""
+    import pytest
+
+    ddl = "ev_id string, score double, val string"
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lk"), ddl, ["ev_id"], 2, stats_col="score"
+    )
+    rows = [("a", -1.5, "lo", 1), ("b", 2.7, "hi", 2)]
+    content = (
+        spark.createDataFrame(rows, f"{ddl}, {LSN_COL} long")
+        .withColumn("__deleted", F.lit(False))
+        .withColumn(BUCKET_COL, lake.bucket_expr(2, ["ev_id"]))
+    )
+    assert lake.commit(content, [], "c0", None, mode="append")
+    ent = lake.bucket_entries()
+    vstats = {
+        f: st for e in ent.values() for f, st in e["val_stats"].items()
+    }
+    assert vstats, ent
+    # per-file ranges widen outward (floor/ceil), never cut toward zero
+    assert min(lo for lo, _ in vstats.values()) == -2, vstats
+    assert max(hi for _, hi in vstats.values()) == 3, vstats
+
+    # the truncation bug pruned these reads to zero rows
+    got = lake.read(user_cols=True, secondary_range=(2.5, 3.0))
+    assert [r.ev_id for r in got.collect()] == ["b"]
+    got = lake.read(user_cols=True, secondary_range=(-2.0, -1.4))
+    assert [r.ev_id for r in got.collect()] == ["a"]
+
+    # non-numeric stats_col rejected at create()
+    with pytest.raises(ValueError, match="numeric"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad2"), ddl, ["ev_id"], 2,
+            stats_col="val",
+        )
+    with pytest.raises(ValueError, match="not a schema column"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad3"), ddl, ["ev_id"], 2,
+            stats_col="nope",
+        )
