@@ -390,11 +390,15 @@ class LakeTable:
         d = os.path.join(self.manifest_dir, "tags")
         os.makedirs(d, exist_ok=True)
         _atomic_write(os.path.join(d, name), json.dumps({"version": v}))
-        # Close the TOCTOU with a racing expire_snapshots (which reads
-        # tags() once up front): if the tagged version vanished between
-        # our validation and the tag write, the tag points at a GC'd
-        # snapshot — remove it and surface the race instead of leaving
-        # a dangling "durable" anchor.
+        # Tag/expiry protocol, tag side: the tag file above is durably
+        # written BEFORE this existence check, and expire_snapshots
+        # makes victims INVISIBLE (rename to *.expiring) before its
+        # final tag re-read. So if this check passes, the version file
+        # still existed after the tag write — any expiry claiming it
+        # later re-reads tags, sees ours, and restores the version. If
+        # the check fails, the version was claimed/GC'd: remove the tag
+        # and surface the race. No interleaving leaves a dangling tag
+        # or deletes a successfully-tagged snapshot.
         if not os.path.exists(
             os.path.join(self.manifest_dir, self._vname(v))
         ):
@@ -573,11 +577,17 @@ class LakeTable:
         excluded). Composition with merge-on-read is asymmetric because
         the column is a VALUE, not a key: in buckets carrying deltas, a
         pruned base row could be the true LWW winner and its absence
-        would let a stale in-range delta row win — so base files are
-        pruned ONLY in delta-free buckets (raw scans prune everywhere:
-        their semantics are per-row), and the row-level range filter is
-        applied AFTER resolution. Delta-free buckets hold final
-        per-key state, where the row filter and the file prune agree.
+        would let a stale in-range delta row win — so base files prune
+        per-file ONLY in delta-free buckets (raw scans prune
+        everywhere: their semantics are per-row), a delta-carrying
+        bucket prunes only as a WHOLE (base + every delta file provably
+        out of range — then no candidate row, hence no winner, is in
+        range), and the row-level range filter is applied AFTER
+        resolution. When SHARED delta files (group/mod-shard) are in
+        the selected set, resolution-time pruning is disabled entirely:
+        a shared file can carry stale rows of buckets that no longer
+        reference it (partial compaction), making reference-list-based
+        pruning unsound.
         After a clustered compaction (which sorts by key THEN
         stats_col), pruning pays off when key order correlates with the
         stats_col or per-key row counts are small."""
@@ -625,17 +635,69 @@ class LakeTable:
             vlo, vhi = secondary_range
             raw_scan = not resolve_deltas or lsn_range is not None
 
-            def _vkeep(e, f, is_base):
-                # value-column prune: sound per-row on raw scans; under
-                # resolution sound only where no delta can supersede a
-                # pruned base row (delta-free buckets) — see docstring
-                if not raw_scan and (not is_base or e["deltas"]):
-                    return True
-                st = e.get("val_stats", {}).get(f)
-                return st is None or (
-                    (vlo is None or st[1] >= vlo)
-                    and (vhi is None or st[0] <= vhi)
+            def _vmiss(st) -> bool:
+                # stats PROVE the file holds no in-range row (absent
+                # stats prove nothing -> never prune on them)
+                return st is not None and (
+                    (vlo is not None and st[1] < vlo)
+                    or (vhi is not None and st[0] > vhi)
                 )
+
+            # SHARED delta files (group_files' __dgrp / bucket-
+            # registered mod-shard __dshard) may hold STALE rows of
+            # buckets that no longer reference them: a partial
+            # compaction folds a member bucket out by dropping ITS
+            # reference, but the immutable file survives via sibling
+            # references and still carries the folded bucket's old
+            # rows. Any val-stats prune keyed off a bucket's OWN
+            # reference list is then unsound (a pruned out-of-range
+            # true winner could lose to a stale in-range shared-file
+            # row), so resolution-time pruning is disabled table-wide
+            # whenever a shared delta file is in the selected set.
+            has_shared = any(
+                ("__dgrp=" in f) or ("__dshard=" in f)
+                for e in entries.values()
+                for f in e["deltas"]
+            )
+            if raw_scan:
+                # sound per-row: raw-scan semantics are per physical row
+                def _vkeep(e, f, is_base):
+                    return not _vmiss(e.get("val_stats", {}).get(f))
+            elif has_shared:
+                def _vkeep(e, f, is_base):
+                    return True
+            else:
+                # Resolution-time pruning, two sound granularities:
+                # (a) delta-free buckets hold final per-key state ->
+                #     per-file base pruning (kept files stay complete
+                #     for every surviving key; see class docstring);
+                # (b) delta-carrying buckets prune ONLY as a whole:
+                #     when the base file AND every delta file provably
+                #     miss the range, no candidate row of the bucket is
+                #     in range, so no post-filter winner exists and the
+                #     bucket contributes nothing. (Tombstones carry a
+                #     null stats_col and can never pass the post-
+                #     resolution range filter, so dropping them with
+                #     their bucket loses nothing; and a stored live
+                #     winner always outranks its retained tombstone,
+                #     so per-file pruning in (a) cannot flip a key.)
+                drop_buckets: set[str] = set()
+                for _b, _e in entries.items():
+                    if not _e["deltas"]:
+                        continue
+                    _vs = _e.get("val_stats", {})
+                    _fs = _e["files"] + _e["deltas"]
+                    if _fs and all(_vmiss(_vs.get(_f)) for _f in _fs):
+                        drop_buckets.add(_b)
+                entries = {
+                    b: e for b, e in entries.items()
+                    if b not in drop_buckets
+                }
+
+                def _vkeep(e, f, is_base):
+                    if not is_base or e["deltas"]:
+                        return True
+                    return not _vmiss(e.get("val_stats", {}).get(f))
         else:
             def _vkeep(e, f, is_base):
                 return True
@@ -1592,16 +1654,69 @@ class LakeTable:
         it comfortably above the longest possible checkpoint-replay
         gap. Recent ids stay covered by the snapshot's inline list
         regardless."""
+        # Crash recovery: a previous expiry that died between claiming
+        # victims (rename to *.expiring) and finishing leaves renamed
+        # roots behind. Restore any that are TAGGED (the tag must not
+        # dangle); untagged leftovers stay invisible and fall to the
+        # grace-gated orphan sweep below.
+        cur_tags = set(self.tags().values())
+        for fn in os.listdir(self.manifest_dir):
+            if not fn.endswith(".json.expiring"):
+                continue
+            try:
+                v = int(fn[1:-len(".json.expiring")])
+            except ValueError:
+                continue
+            if v in cur_tags:
+                try:
+                    os.rename(
+                        os.path.join(self.manifest_dir, fn),
+                        os.path.join(self.manifest_dir, self._vname(v)),
+                    )
+                except FileNotFoundError:
+                    pass
         versions = self.versions()
         keep = set(versions[-keep_last:]) | {
             v for v in (pinned_versions or set()) if v in versions
         }
         # tagged snapshots are durable anchors: always retained
         keep |= {v for v in self.tags().values() if v in versions}
+        # --- tag/expiry race closure (two-phase victim retirement):
+        # make every victim INVISIBLE first (atomic rename to
+        # *.expiring), then RE-READ tags and restore any victim tagged
+        # in the window. A tag() that passed its post-write existence
+        # check did so before this rename, and its tag file was durably
+        # written BEFORE that check — so this re-read sees it and
+        # restores the version. A tag() that checks after the rename
+        # sees the version missing, removes its own tag and raises.
+        # Either interleaving ends with no dangling tag and no deleted
+        # tagged snapshot; victims surviving the re-read are invisible
+        # to every future tag().
+        expired_manifests: dict[int, dict] = {}
+        claimed: list[int] = []
+        for v in [x for x in versions if x not in keep]:
+            vpath = os.path.join(self.manifest_dir, self._vname(v))
+            try:
+                expired_manifests[v] = self.snapshot(v)
+                os.rename(vpath, vpath + ".expiring")
+            except FileNotFoundError:
+                continue  # a concurrent expiry claimed it first
+            _JSON_CACHE.pop(vpath, None)
+            claimed.append(v)
+        late_tagged = {
+            v for v in self.tags().values() if v in set(claimed)
+        }
+        for v in late_tagged:
+            vpath = os.path.join(self.manifest_dir, self._vname(v))
+            os.rename(vpath + ".expiring", vpath)
+            keep.add(v)
+        expired = [v for v in claimed if v not in late_tagged]
+        # live walk AFTER the restores, so late-tagged versions pin
+        # their files and nodes like any other retained snapshot
         live_files: set[str] = set()
         live_nodes: set[str] = set()
         for v in keep:
-            m = self.snapshot(v)
+            m = expired_manifests.get(v) or self.snapshot(v)
             for g in m["groups"].values():
                 live_nodes.add(g["m"])
             for bm_ptr_map in (self._load_gm(m, gid) for gid in m["groups"]):
@@ -1617,9 +1732,8 @@ class LakeTable:
         snapshots_removed = 0
         dead_nodes: set[str] = set()
         dead_files: set[str] = set()
-        expired = [v for v in versions if v not in keep]
         for v in expired:
-            m = self.snapshot(v)
+            m = expired_manifests[v]
             for gid in m["groups"]:
                 g = m["groups"][gid]
                 if g["m"] not in live_nodes:
@@ -1648,7 +1762,10 @@ class LakeTable:
         for v in expired:
             vpath = os.path.join(self.manifest_dir, self._vname(v))
             _JSON_CACHE.pop(vpath, None)
-            os.remove(vpath)
+            try:
+                os.remove(vpath + ".expiring")
+            except FileNotFoundError:
+                pass  # a concurrent expiry finished the removal
             snapshots_removed += 1
         orphans_removed = 0
         if orphan_grace_sec is not None:
@@ -1688,7 +1805,10 @@ class LakeTable:
                     except FileNotFoundError:
                         pass
             for fn in os.listdir(self.manifest_dir):
-                if ".tmp." in fn:
+                # .expiring roots: victims a crashed prior expiry
+                # claimed but never deleted (tagged ones were restored
+                # at the top of this call) — abandoned once past grace
+                if ".tmp." in fn or fn.endswith(".json.expiring"):
                     p = os.path.join(self.manifest_dir, fn)
                     try:
                         if os.path.getmtime(p) < cutoff:

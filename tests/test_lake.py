@@ -991,3 +991,204 @@ def test_secondary_range_float_stats_widen_not_truncate(spark, tmp_path):
             spark, str(tmp_path / "bad3"), ddl, ["ev_id"], 2,
             stats_col="nope",
         )
+
+
+def test_secondary_range_bucket_prunes_whole_with_delta_stats(
+    spark, tmp_path
+):
+    """Delta-side val_stats extend 2-D skipping into delta-carrying
+    buckets: when the base file AND every delta file of a bucket miss
+    the queried range, the bucket prunes ENTIRELY even under
+    resolution (no candidate row of it can be the in-range winner);
+    any in-range file keeps the whole bucket."""
+    ddl = "ev_id string, ts long, val string"
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lk"), ddl, ["ev_id"], 2, stats_col="ts"
+    )
+
+    def _rows(rows, batch, mode, replaced=()):
+        content = (
+            spark.createDataFrame(rows, f"{ddl}, {LSN_COL} long")
+            .withColumn("__deleted", F.lit(False))
+            .withColumn(BUCKET_COL, lake.bucket_expr(2, ["ev_id"]))
+        )
+        assert lake.commit(content, list(replaced), batch, None, mode=mode)
+
+    # base rows, one key per bucket; per-bucket delta files on top
+    _rows([("a", 10, "a0", 1), ("b", 500, "b0", 2)], "base", "append")
+    _rows([("a", 20, "a1", 3)], "d-a", "delta")
+    _rows([("b", 600, "b1", 4)], "d-b", "delta")
+
+    full = lake.read(user_cols=True)
+    assert full.count() == 2
+    # range hits only b's files: a's bucket (base 10, delta 20) prunes
+    got = lake.read(user_cols=True, secondary_range=(400, 700))
+    assert [(r.ev_id, r.val) for r in got.collect()] == [("b", "b1")]
+    assert len(got.inputFiles()) < len(full.inputFiles()), (
+        got.inputFiles()
+    )
+    a_files = [f for f in full.inputFiles() if f not in got.inputFiles()]
+    assert len(a_files) >= 2  # a's base AND delta files both skipped
+
+    # a range touching a's DELTA keeps the whole bucket (base too) and
+    # resolves exactly: winner a1 at ts=20
+    got2 = lake.read(user_cols=True, secondary_range=(15, 30))
+    assert [(r.ev_id, r.val) for r in got2.collect()] == [("a", "a1")]
+
+
+def test_secondary_range_sound_with_stale_shared_delta_rows(
+    spark, tmp_path
+):
+    """ADVICE r5: a shared (group_files) delta file keeps a compacted
+    member bucket's STALE rows alive via sibling references. If that
+    bucket is later rewritten delta-free with an out-of-range winner,
+    base-file pruning keyed on the bucket's own (empty) delta list
+    would let the stale in-range shared row win — wrong results.
+    Resolution-time val pruning must disable itself when shared delta
+    files are in the selected set."""
+    ddl = "ev_id string, ts long, val string"
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lk"), ddl, ["ev_id"], 2, stats_col="ts"
+    )
+    # one shared group-delta file carrying keys of BOTH buckets (nb=2
+    # -> one group), in-range ts, lsn 1/2
+    rows = [(f"e{i}", 100 + i, f"v{i}", i + 1) for i in range(8)]
+    content = (
+        spark.createDataFrame(rows, f"{ddl}, {LSN_COL} long")
+        .withColumn("__deleted", F.lit(False))
+        .withColumn(BUCKET_COL, lake.bucket_expr(2, ["ev_id"]))
+        .coalesce(1)
+    )
+    assert lake.commit(
+        content, [], "g0", None, mode="delta", group_files=True
+    )
+    ent = lake.bucket_entries()
+    assert all(len(e["deltas"]) == 1 for e in ent.values())
+    shared = {f for e in ent.values() for f in e["deltas"]}
+    assert len(shared) == 1  # genuinely shared across both buckets
+
+    # compact ONE member bucket: its reference drops, the sibling's
+    # stays, the immutable shared file still holds its stale rows
+    c = lake.compact_deltas(0, max_buckets=1)
+    assert c["applied"] and c["buckets_compacted"] == 1
+    ent = lake.bucket_entries()
+    folded = [b for b, e in ent.items() if not e["deltas"]]
+    assert len(folded) == 1
+    fb = int(folded[0])
+
+    # rewrite the folded bucket delta-free with its keys' winners moved
+    # OUT of the in-range window (higher lsn)
+    fb_keys = [
+        (r.ev_id, i)
+        for i, r in enumerate(
+            lake.read(user_cols=True, buckets=[fb]).collect()
+        )
+    ]
+    assert fb_keys
+    repl = [(k, 9000 + i, "moved", 100 + i) for k, i in fb_keys]
+    content = (
+        spark.createDataFrame(repl, f"{ddl}, {LSN_COL} long")
+        .withColumn("__deleted", F.lit(False))
+        .withColumn(BUCKET_COL, lake.bucket_expr(2, ["ev_id"]))
+    )
+    assert lake.commit(content, [fb], "repl", None, mode="replace")
+
+    # the in-range query must NOT resurrect the stale shared rows of
+    # the rewritten bucket — their true winners moved out of range
+    got = lake.read(user_cols=True, secondary_range=(50, 200))
+    got_ids = {r.ev_id for r in got.collect()}
+    assert not (got_ids & {k for k, _ in fb_keys}), got_ids
+    # and equals a plain post-resolution filter over the full read
+    want = {
+        r.ev_id for r in lake.read(user_cols=True).collect()
+        if 50 <= r.ts <= 200
+    }
+    assert got_ids == want
+
+
+def _tag_lake(spark, tmp_lake_dir, n=6):
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    for i in range(n):
+        df = _with_bucket(
+            lake,
+            _mk(spark, [("c1", 0, "user", f"v{i}", None,
+                         f"2024-01-01 00:0{i}:00", i + 1)]),
+        )
+        lake.commit(df, [0, 1], f"b{i}", (i + 1, i + 1))
+    return lake
+
+
+def test_expire_restores_tag_landed_in_claim_window(spark, tmp_lake_dir):
+    """Expiry side of the tag/expiry protocol: a tag written AFTER
+    expiry's up-front tags() read but visible at the post-claim
+    re-read restores the claimed victim — the tagged snapshot survives
+    and stays readable; untagged victims still expire."""
+    import json as _json
+    import os
+
+    lake = _tag_lake(spark, tmp_lake_dir)
+    victim = lake.versions()[1]
+    tag_dir = os.path.join(lake.manifest_dir, "tags")
+    os.makedirs(tag_dir, exist_ok=True)
+
+    calls = {"n": 0}
+    orig_tags = LakeTable.tags
+
+    def racy_tags(self):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            # the post-claim re-read: a concurrent tag() landed its
+            # file in the window (its own existence check passed just
+            # before the rename)
+            with open(os.path.join(tag_dir, "late"), "w") as f:
+                f.write(_json.dumps({"version": victim}))
+        return orig_tags(self)
+
+    lake.tags = racy_tags.__get__(lake)
+    res = lake.expire_snapshots(keep_last=2)
+    lake.tags = orig_tags.__get__(lake)
+
+    assert calls["n"] >= 3
+    assert victim in lake.versions()  # restored, not deleted
+    assert lake.tags()["late"] == victim
+    assert lake.read(tag="late").count() >= 0  # fully readable
+    # the other victims expired normally
+    assert res["snapshots_removed"] > 0
+    assert len(lake.versions()) == 3  # keep_last=2 + the restored tag
+
+
+def test_expire_recovers_crashed_expiry_leftovers(spark, tmp_lake_dir):
+    """A crash between claiming victims (*.expiring rename) and
+    deletion leaves renamed roots: the next expiry restores TAGGED
+    leftovers (tag must not dangle) and sweeps untagged ones once past
+    the orphan grace period."""
+    import os
+    import time
+
+    lake = _tag_lake(spark, tmp_lake_dir)
+    vs = lake.versions()
+    tagged_victim, untagged_victim = vs[1], vs[2]
+    lake.tag("anchor", version=tagged_victim)
+    # simulate the crashed expiry: claim both, then die
+    for v in (tagged_victim, untagged_victim):
+        p = os.path.join(lake.manifest_dir, lake._vname(v))
+        os.rename(p, p + ".expiring")
+    assert tagged_victim not in lake.versions()
+
+    res = lake.expire_snapshots(keep_last=2, orphan_grace_sec=3600)
+    # tagged leftover restored and retained; untagged stays invisible
+    # but is NOT yet swept (younger than grace)
+    assert tagged_victim in lake.versions()
+    assert lake.tags()["anchor"] == tagged_victim
+    assert lake.read(tag="anchor").count() >= 0
+    leftover = os.path.join(
+        lake.manifest_dir, lake._vname(untagged_victim) + ".expiring"
+    )
+    assert os.path.exists(leftover)
+
+    # age it past grace -> swept as an orphan
+    old = time.time() - 7200
+    os.utime(leftover, (old, old))
+    res = lake.expire_snapshots(keep_last=2, orphan_grace_sec=3600)
+    assert not os.path.exists(leftover)
+    assert res["orphans_removed"] >= 1
