@@ -314,8 +314,15 @@ def q_cdc_lww_apply_mor(spark, sf_dir):
     micro-batches), deltas partially compacted mid-stream, and the
     RESOLVED read must equal the same sequential-replay SQL oracle as
     ``cdc_lww_apply`` — proving base-vs-delta resolution is exact end to
-    end, not just in pytest. (The gate lake lives in a tmp dir that must
-    outlive this call — the driver collects the returned frame lazily.)"""
+    end, not just in pytest. The replay is MIXED-SHAPE on the engine's
+    default hot path: batches 0-1 append RAW deltas (the no-sort
+    mod-shard plan that carries the latency headline and the endurance
+    replay — 64 buckets here so the shard files are genuinely SHARED
+    across member buckets), batches 2-3 append per-key SUMMARY deltas,
+    so the final read resolves compacted base + raw rows + summary rows
+    through one LWW algebra under the DuckDB oracle. (The gate lake
+    lives in a tmp dir that must outlive this call — the driver
+    collects the returned frame lazily.)"""
     from ..tableformat.lake import DELETED_COL, LSN_COL
 
     def _mid_compact(i, lake):
@@ -324,8 +331,15 @@ def q_cdc_lww_apply_mor(spark, sf_dir):
             # compacted base + later deltas (the hard case)
             lake.compact_deltas(max_deltas_per_bucket=1, batch_id="mor-c1")
 
-    lake, _ = _replay_lake_mow(
-        spark, sf_dir, "gate_mor_", merge_mode="read", on_batch=_mid_compact
+    lake, _, results = _replay_lake_mow(
+        spark, sf_dir, "gate_mor_", merge_mode="read",
+        on_batch=_mid_compact, n_buckets=64,
+        delta_plan_fn=lambda i: "raw" if i < 2 else "summary",
+    )
+    # the hot path must actually have run: the first two batches
+    # committed raw deltas (not silently demoted to summaries)
+    assert [r.get("delta_plan") for r in results[:2]] == ["raw", "raw"], (
+        results
     )
     st = lake.read()
     return st.filter(~F.col(DELETED_COL)).select(
@@ -344,39 +358,49 @@ def _gate_tmpdir(prefix):
 
 
 def _replay_lake_mow(spark, sf_dir, tmp_prefix, merge_mode="write",
-                     on_batch=None):
+                     on_batch=None, n_buckets=8, delta_plan_fn=None):
     """Replay the derived binlog into a fresh LakeTable as 4 ordered
     equal-width micro-batches — THE replay every lake gate shares, so
     its width arithmetic stays bit-identical to ``_CUT_SQL``. Returns
-    ``(lake, v_mid)`` where ``v_mid`` is the committed snapshot version
-    after the 2nd batch (captured BEFORE any ``on_batch`` side
-    effects). ``on_batch(i, lake)`` runs after each applied batch —
-    mid-replay compaction, relay ticks, etc."""
+    ``(lake, v_mid[, results])`` where ``v_mid`` is the committed
+    snapshot version after the 2nd batch (captured BEFORE any
+    ``on_batch`` side effects); the per-batch apply results are the
+    third element when ``delta_plan_fn`` is given (so a gate can
+    assert WHICH physical delta plan actually committed).
+    ``on_batch(i, lake)`` runs after each applied batch — mid-replay
+    compaction, relay ticks, etc. ``delta_plan_fn(i)`` picks the
+    merge-on-read delta shape per batch (mixed raw/summary replays)."""
     from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
     from ..tableformat.lake import LakeTable
 
     b = derived_binlog(spark, sf_dir)
     lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     root = _gate_tmpdir(tmp_prefix)
-    lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, 8)
+    lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, n_buckets)
     width = (int(hi) - int(lo) + 4) // 4
     v_mid = None
+    results = []
     for i in range(4):
         s = int(lo) + i * width
         e = min(s + width - 1, int(hi))
         if s > int(hi):
             break
-        apply_batch(
+        results.append(apply_batch(
             lake,
             b.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
             f"replay-{i}",
             lsn_range_hint=(s, e),
             merge_mode=merge_mode,
-        )
+            delta_plan=(
+                delta_plan_fn(i) if delta_plan_fn is not None else "summary"
+            ),
+        ))
         if i == 1:
             v_mid = lake.snapshot()["version"]
         if on_batch is not None:
             on_batch(i, lake)
+    if delta_plan_fn is not None:
+        return lake, v_mid, results
     return lake, v_mid
 
 
