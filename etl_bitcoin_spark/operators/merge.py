@@ -730,6 +730,9 @@ def apply_batch(
             metrics={"buckets_touched": n_buckets},
             base_version=snap["version"],
             lineage_fn=_lineage,
+            # stored state resolved at snap: shard generations at or
+            # below it are folded into this rewrite
+            delta_floor=snap["version"],
         )
         return {
             "applied": ok, "buckets": affected,
@@ -860,6 +863,7 @@ def apply_batch(
             # a concurrent commit to any affected bucket must conflict,
             # disjoint-bucket writers rebase cleanly
             base_version=snap["version"],
+            delta_floor=snap["version"],
         )
         return {
             "applied": ok,

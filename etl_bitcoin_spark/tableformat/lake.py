@@ -53,6 +53,14 @@ built natively". Semantics provided:
   folds deltas back into the base on a policy. This removes the
   merge-on-write rewrite tax from the micro-batch latency path at the
   classic cost of bounded read amplification.
+- **Shard generations** (``commit(shard_mod=K)``): the raw delta plan's
+  K mod-shard files register ONCE as a version-stamped snapshot-level
+  generation (``shard_deltas``) — O(K) commit metadata independent of
+  bucket count. Per-bucket liveness is exact via a ``floor`` version on
+  bucket manifests (advanced by resolved replaces/compactions); reads
+  row-exclude folded buckets per generation, and generations folded by
+  the whole table (tracked through group-pointer ``min_floor``) prune
+  from the snapshot. See the ``commit`` docstring for the protocol.
 
 Layout::
 
@@ -158,6 +166,9 @@ def _empty_bm() -> dict[str, Any]:
     return {
         "files": [], "rows": 0, "deltas": [], "delta_rows": 0,
         "file_stats": {}, "key_stats": {}, "val_stats": {},
+        # shard-delta floor: generations with v <= floor are already
+        # folded into this bucket's base (see commit/shard_deltas)
+        "floor": -1,
     }
 
 
@@ -471,11 +482,22 @@ class LakeTable:
         return rel
 
     def bucket_entries(
-        self, version: int | None = None, buckets: list[int] | None = None
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_shard: bool = True,
     ) -> dict[str, dict[str, Any]]:
         """Materialize {bucket: {"files", "rows", "deltas", "delta_rows"}}
         for the selected buckets (all when None), loading ONLY the group
-        and bucket manifests those buckets live in."""
+        and bucket manifests those buckets live in.
+
+        ``include_shard`` (default) merges LIVE shard-generation files
+        into each bucket's delta view — exact membership: generation g
+        contributes its residue file ``b % g.k`` iff ``g.v > floor(b)``
+        — so callers see one uniform per-bucket metadata shape
+        regardless of how a delta was registered. Pass False for the
+        raw stored lists (the read path handles generations itself,
+        with per-generation floor-exclusion row filters)."""
         m = self.snapshot(version)
         want = None if buckets is None else {str(b) for b in buckets}
         ptrs: dict[str, dict[str, Any]] = {}
@@ -498,7 +520,49 @@ class LakeTable:
 
             with ThreadPoolExecutor(max_workers=16) as ex:
                 list(ex.map(lambda bp: self._load_bm(bp[1]), cold))
-        return {b: self._load_bm(p) for b, p in ptrs.items()}
+        out = {b: self._load_bm(p) for b, p in ptrs.items()}
+        sd = m.get("shard_deltas", []) if include_shard else []
+        if not sd:
+            return out
+        nb = m["n_buckets"]
+        want_b = (
+            range(nb) if buckets is None else [int(b) for b in buckets]
+        )
+        merged: dict[str, dict[str, Any]] = {}
+        for b in want_b:
+            bm = out.get(str(b), _empty_bm())
+            fl = bm.get("floor", -1)
+            extra: list[str] = []
+            erows = 0
+            fs: dict[str, Any] = {}
+            ks: dict[str, Any] = {}
+            vs: dict[str, Any] = {}
+            for g in sd:
+                if g["v"] <= fl:
+                    continue
+                tag = f"__dshard={b % g['k']}/"
+                for f in g["files"]:
+                    if tag not in f:
+                        continue
+                    extra.append(f)
+                    erows += g["rows"] // max(1, nb)
+                    if f in g.get("file_stats", {}):
+                        fs[f] = g["file_stats"][f]
+                    if f in g.get("key_stats", {}):
+                        ks[f] = g["key_stats"][f]
+                    if f in g.get("val_stats", {}):
+                        vs[f] = g["val_stats"][f]
+            if not extra and str(b) not in out:
+                continue
+            merged[str(b)] = {
+                **bm,
+                "deltas": bm["deltas"] + extra,
+                "delta_rows": bm["delta_rows"] + erows,
+                "file_stats": {**bm.get("file_stats", {}), **fs},
+                "key_stats": {**bm.get("key_stats", {}), **ks},
+                "val_stats": {**bm.get("val_stats", {}), **vs},
+            }
+        return merged
 
     # ------------------------------------------------------- batch ledger
     def _batch_marker(self, batch_id: str) -> str:
@@ -599,7 +663,30 @@ class LakeTable:
             except KeyError:
                 raise ValueError(f"unknown tag {tag!r}") from None
         m = self.snapshot(version)
-        entries = self.bucket_entries(version=m["version"], buckets=buckets)
+        entries = self.bucket_entries(
+            version=m["version"], buckets=buckets, include_shard=False
+        )
+        # live shard generations for this read: a generation is live
+        # unless EVERY relevant bucket has folded it (floor >= v).
+        # Exact per-bucket liveness is enforced at row level below.
+        sd = m.get("shard_deltas", [])
+        floors = {int(b): e.get("floor", -1) for b, e in entries.items()}
+        if sd:
+            if buckets is not None:
+                rel = [int(b) for b in buckets]
+                live_gens = [
+                    g for g in sd
+                    if any(floors.get(b, -1) < g["v"] for b in rel)
+                ]
+            else:
+                live_gens = [
+                    g for g in sd
+                    if sum(
+                        1 for fl in floors.values() if fl >= g["v"]
+                    ) < m["n_buckets"]
+                ]
+        else:
+            live_gens = []
         if lsn_range is not None:
             resolve_deltas = False
             lo = -(1 << 62) if lsn_range[0] is None else lsn_range[0]
@@ -654,7 +741,10 @@ class LakeTable:
             # true winner could lose to a stale in-range shared-file
             # row), so resolution-time pruning is disabled table-wide
             # whenever a shared delta file is in the selected set.
-            has_shared = any(
+            # (live shard generations count as shared too — their rows
+            # span buckets inside one file; conservative: resolution-
+            # time val pruning stands down whenever they are present)
+            has_shared = bool(live_gens) or any(
                 ("__dgrp=" in f) or ("__dshard=" in f)
                 for e in entries.values()
                 for f in e["deltas"]
@@ -719,6 +809,33 @@ class LakeTable:
             for f in e["deltas"]
             if _keep(e, f, is_base=False)
         ))
+        # Shard-generation scan legs, grouped by their floor-exclusion
+        # set: rows of buckets that already FOLDED a generation
+        # (floor >= v) must not re-enter resolution — after a
+        # tombstone compaction they could resurrect deleted keys.
+        # Floors only move on (rare) compactions, so the number of
+        # distinct exclusion sets — and scan legs — stays tiny.
+        gen_legs: list[tuple[list[str], list[int]]] = []
+        by_excl: dict[tuple[int, ...], list[str]] = {}
+        for g in live_gens:
+            excl = tuple(sorted(
+                b for b, fl in floors.items() if fl >= g["v"]
+            ))
+            ge = {
+                "file_stats": g.get("file_stats", {}),
+                "key_stats": g.get("key_stats", {}),
+                "val_stats": g.get("val_stats", {}),
+                "deltas": ["__gen__"],
+            }
+            keep_files = [
+                os.path.join(self.root, f)
+                for f in g["files"]
+                if _keep(ge, f, is_base=False)
+            ]
+            if keep_files:
+                by_excl.setdefault(excl, []).extend(keep_files)
+        for excl, files in by_excl.items():
+            gen_legs.append((list(dict.fromkeys(files)), list(excl)))
         schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
 
         def _scan(files: list[str]) -> DataFrame:
@@ -757,22 +874,34 @@ class LakeTable:
 
             def _scan(files):  # noqa: F811 — key-filtered variant
                 return _scan_raw(files).filter(kcond)
-        if delta_files:
+        delta_union = _scan(delta_files) if delta_files else None
+        if gen_legs:
+            bexpr_all = self.bucket_expr(m["n_buckets"], m["key_cols"])
+            for files, excl in gen_legs:
+                leg = _scan(files)
+                if excl:
+                    leg = leg.filter(~bexpr_all.isin(excl))
+                delta_union = (
+                    leg if delta_union is None
+                    else delta_union.unionByName(leg)
+                )
+        if delta_union is not None:
             if resolve_deltas:
                 # Merge-on-read: base winners/tombstones vs delta batch
-                # summaries resolve with EXACTLY the merge algebra — the
-                # resolved read equals what merge-on-write would have
-                # stored (see operators/merge.py docstring for the proof).
+                # summaries (or raw event rows) resolve with EXACTLY
+                # the merge algebra — the resolved read equals what
+                # merge-on-write would have stored (see
+                # operators/merge.py docstring for the proof).
                 from ..operators.merge import _resolve_union
 
                 df = _resolve_union(
-                    df.unionByName(_scan(delta_files)),
+                    df.unionByName(delta_union),
                     None,
                     key_cols=m["key_cols"],
                 )
             else:
                 # raw maintenance scan: base ∪ delta rows, unresolved
-                df = df.unionByName(_scan(delta_files))
+                df = df.unionByName(delta_union)
         if secondary_range is not None:
             # row-level range filter AFTER resolution: file pruning is
             # best-effort (delta-free buckets / raw scans); this filter
@@ -815,6 +944,7 @@ class LakeTable:
         group_files: bool = False,
         shard_mod: int | None = None,
         compression: str | None = None,
+        delta_floor: int | None = None,
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -851,14 +981,33 @@ class LakeTable:
 
         ``shard_mod=K`` (delta mode only, exclusive with group_files)
         is the mod-shard variant: one file per shard ``s`` holding
-        buckets ``{b : b % K == s}``, registered in every member
-        bucket. With ``K | n_buckets`` and the content repartitioned by
-        the key columns into K partitions, task t holds exactly shard t
-        (``pmod(hash, nb) % K == pmod(hash, K)``), so the write is ONE
-        even wave of K tasks emitting K files — the per-batch floor for
-        sub-second raw delta appends (K = cluster width, not bucket
-        count). Read/compaction/GC semantics are identical to group
-        sharing (path-level dedupe + derived-bucket row filters).
+        buckets ``{b : b % K == s}``. With ``K | n_buckets`` and the
+        content repartitioned by the key columns into K partitions,
+        task t holds exactly shard t (``pmod(hash, nb) % K ==
+        pmod(hash, K)``), so the write is ONE even wave of K tasks
+        emitting K files — the per-batch floor for sub-second raw
+        delta appends (K = cluster width, not bucket count).
+
+        Mod-shard registration is O(K), NOT O(n_buckets): the K files
+        register ONCE as a snapshot-level **shard generation**
+        (``shard_deltas``: a version-stamped entry carrying the file
+        list + per-file stats), never in per-bucket delta lists — a
+        4096-bucket raw commit writes ZERO bucket/group manifests
+        (previously it rewrote all 4096 bm + 64 gm nodes, 3.8-5.5 s of
+        every ~30 s endurance batch). Per-bucket membership is EXACT
+        by construction: bucket b's rows of generation g live only in
+        g's residue file ``b % g.k``, and they are live iff
+        ``g.v > floor(b)`` where ``floor`` (stored on the bucket
+        manifest/pointer, default -1) is advanced to the base version
+        by any commit that REPLACED the bucket with resolved content
+        (compaction, merge-on-write, rescale — the ``delta_floor``
+        arg). Reads apply the floor as a row-level exclusion per
+        generation; a generation folded by every bucket (its v <= the
+        global min floor, tracked as ``min_floor`` on group pointers)
+        is pruned from the snapshot and its files are expired with the
+        old snapshots. ``delta_floor`` must be passed ONLY when the
+        replace content is a fully-RESOLVED read at that version —
+        raw base rewrites (compact_files) carry the old floor forward.
 
         **Multi-writer protocol** (Iceberg-style optimistic): data files
         stage once; the manifest publish is a CAS on the version number.
@@ -1101,21 +1250,42 @@ class LakeTable:
                     ]
         for info in per_bucket.values():
             info["files"].sort()
-        if group_files or shard_mod is not None:
-            # expand each shared file (bucket GROUP or mod-SHARD) to
-            # EVERY member bucket's delta list; rows are apportioned
-            # (shard-exact, per-bucket estimate) — n_deltas, the policy
-            # signal, stays exact
+        new_gen: dict[str, Any] | None = None
+        if shard_mod is not None:
+            # O(K) metadata: the K shard files become ONE snapshot-level
+            # generation entry; no per-bucket expansion, no bm/gm writes
+            new_gen = {
+                "k": shard_mod,
+                "files": sorted(
+                    f for info in per_bucket.values()
+                    for f in info["files"]
+                ),
+                "rows": sum(info["rows"] for info in per_bucket.values()),
+                "file_stats": {
+                    f: st for info in per_bucket.values()
+                    for f, st in info.get("stats", {}).items()
+                },
+                "key_stats": {
+                    f: st for info in per_bucket.values()
+                    for f, st in info.get("kstats", {}).items()
+                },
+                "val_stats": {
+                    f: st for info in per_bucket.values()
+                    for f, st in info.get("vstats", {}).items()
+                },
+            }
+            per_bucket = {}
+        elif group_files:
+            # expand each shared GROUP file to every member bucket's
+            # delta list; rows are apportioned (group-exact, per-bucket
+            # estimate) — n_deltas, the policy signal, stays exact
             gs = prev["group_size"]
             nb = prev["n_buckets"]
             expanded: dict[str, dict] = {}
             for g, info in per_bucket.items():
-                if shard_mod is not None:
-                    members = list(range(int(g), nb, shard_mod))
-                else:
-                    members = list(
-                        range(int(g) * gs, min((int(g) + 1) * gs, nb))
-                    )
+                members = list(
+                    range(int(g) * gs, min((int(g) + 1) * gs, nb))
+                )
                 n_m = max(1, len(members))
                 for j, b in enumerate(members):
                     share = info["rows"] // n_m + (
@@ -1181,6 +1351,21 @@ class LakeTable:
                             f"(v{base['version']} -> v{cur['version']}); "
                             "recompute the merge against the new snapshot"
                         )
+            cur_sd = cur.get("shard_deltas", [])
+
+            def _floor_of(b: str) -> int:
+                # replace with RESOLVED content advances the floor to
+                # the read's base version (generations at or below it
+                # are folded into the new base); raw rewrites and
+                # append/delta commits carry the old floor forward
+                if mode == "replace" and delta_floor is not None:
+                    return delta_floor
+                if not cur_sd:
+                    return -1  # no generations -> floors are inert
+                return self._load_bm(
+                    self._bucket_pointer(cur, b)
+                ).get("floor", -1)
+
             # --- build the new pointer set for every touched bucket
             new_ptrs: dict[str, dict | None] = {}
             for b in replaced_buckets:
@@ -1188,7 +1373,7 @@ class LakeTable:
             for b, info in per_bucket.items():
                 if (
                     info["rows"] <= 0 and mode != "replace"
-                    and not group_files and shard_mod is None
+                    and not group_files
                 ):
                     # (shared files: a zero APPORTIONED share still means
                     # the shared file may hold this bucket's rows — the
@@ -1204,6 +1389,7 @@ class LakeTable:
                             "file_stats": info.get("stats", {}),
                             "key_stats": info.get("kstats", {}),
                             "val_stats": info.get("vstats", {}),
+                            "floor": _floor_of(b),
                         }
                     else:
                         new_ptrs.setdefault(b, None)
@@ -1227,6 +1413,7 @@ class LakeTable:
                             **cur_bm.get("val_stats", {}),
                             **info.get("vstats", {}),
                         },
+                        "floor": cur_bm.get("floor", -1),
                     }
                 else:  # delta
                     cur_bm = self._load_bm(self._bucket_pointer(cur, b))
@@ -1247,6 +1434,7 @@ class LakeTable:
                             **cur_bm.get("val_stats", {}),
                             **info.get("vstats", {}),
                         },
+                        "floor": cur_bm.get("floor", -1),
                     }
                 new_ptrs[b] = {
                     "m": self._write_node("bm", bm),
@@ -1254,7 +1442,26 @@ class LakeTable:
                     "delta_rows": bm["delta_rows"],
                     "n_files": len(bm["files"]),
                     "n_deltas": len(bm["deltas"]),
+                    "floor": bm["floor"],
                 }
+            if mode == "replace" and delta_floor is not None and cur_sd:
+                # An EMPTY resolved bucket must still remember its
+                # floor, or live generations <= delta_floor would
+                # re-apply their (folded, possibly tombstone-compacted)
+                # rows to it on read. Keep a rows=0 pointer as the
+                # floor carrier instead of dropping it.
+                for b, ptr in list(new_ptrs.items()):
+                    if ptr is not None:
+                        continue
+                    bm = dict(_empty_bm(), floor=delta_floor)
+                    new_ptrs[b] = {
+                        "m": self._write_node("bm", bm),
+                        "rows": 0,
+                        "delta_rows": 0,
+                        "n_files": 0,
+                        "n_deltas": 0,
+                        "floor": delta_floor,
+                    }
             # --- rewrite only the group manifests whose buckets changed
             # (a rescale rebuilds the whole tree: every bucket is being
             # replaced and group ids re-derive under the new layout, so
@@ -1263,6 +1470,9 @@ class LakeTable:
             by_gid: dict[str, dict[str, dict | None]] = {}
             for b, ptr in new_ptrs.items():
                 by_gid.setdefault(str(int(b) // group_size), {})[b] = ptr
+            nb_new = (
+                cur["n_buckets"] if new_n_buckets is None else new_n_buckets
+            )
             for gid, changes in by_gid.items():
                 gm = (
                     {} if new_n_buckets is not None
@@ -1274,6 +1484,9 @@ class LakeTable:
                     else:
                         gm[b] = ptr
                 if gm:
+                    expected = min(
+                        group_size, nb_new - int(gid) * group_size
+                    )
                     groups[gid] = {
                         "m": self._write_node("gm", {"buckets": gm}),
                         "rows": sum(p["rows"] for p in gm.values()),
@@ -1286,6 +1499,15 @@ class LakeTable:
                         # groups without loading their gm nodes
                         "max_files": max(
                             p["n_files"] for p in gm.values()
+                        ),
+                        # group-level shard-delta floor: a bucket with
+                        # no pointer has floor -1, so the group min is
+                        # -1 unless every member has one — this feeds
+                        # the global min that prunes fully-folded
+                        # generations without walking buckets
+                        "min_floor": (
+                            min(p.get("floor", -1) for p in gm.values())
+                            if len(gm) >= expected else -1
                         ),
                     }
                 else:
@@ -1306,13 +1528,30 @@ class LakeTable:
                 lineage["applied_ranges"] = _merge_ranges(
                     lineage["applied_ranges"] + new_ranges
                 )
+            # --- shard-generation list: append this commit's gen (the
+            # O(K) mod-shard registration), then prune every generation
+            # the WHOLE table has folded (v <= the global min floor,
+            # O(#groups) from the aggregated group pointers). Pruned
+            # generations' files stay referenced by older snapshots and
+            # are GC'd by expire_snapshots like any other dead file.
+            sd_list = [dict(g) for g in cur_sd]
+            if new_gen is not None and new_gen["files"]:
+                sd_list.append(dict(new_gen, v=cur["version"] + 1))
+            if sd_list:
+                covered = sum(g["n_buckets"] for g in groups.values())
+                gmin = (
+                    min(g.get("min_floor", -1) for g in groups.values())
+                    if groups and covered >= nb_new else -1
+                )
+                sd_list = [g for g in sd_list if g["v"] > gmin]
             # O(#groups) from the aggregated group pointers — never a
             # walk of the bucket or file level. delta_rows counts raw
             # delta rows (upper bound: deltas may supersede base rows
-            # until compaction folds them in).
+            # until compaction folds them in; shard-generation rows
+            # likewise).
             lineage["rows_total"] = sum(
                 g["rows"] + g["delta_rows"] for g in groups.values()
-            )
+            ) + sum(g["rows"] for g in sd_list)
             manifest = {
                 "version": cur["version"] + 1,
                 "parent": cur["version"],
@@ -1330,6 +1569,7 @@ class LakeTable:
                 ],
                 "committed_at": time.time(),
                 "groups": groups,
+                "shard_deltas": sd_list,
                 "lineage": lineage,
                 "metrics": metrics or {},
             }
@@ -1496,6 +1736,7 @@ class LakeTable:
             metrics={"rescale": [old_n, new_n_buckets]},
             base_version=snap["version"],
             new_n_buckets=new_n_buckets,
+            delta_floor=snap["version"],
         )
         return {
             "applied": ok,
@@ -1523,14 +1764,21 @@ class LakeTable:
         m_new = self.snapshot(to_version)
         m_old = self.snapshot(from_version)
         changed: list[int] = []
-        for gid in set(m_new["groups"]) | set(m_old["groups"]):
-            if m_new["groups"].get(gid) == m_old["groups"].get(gid):
-                continue  # identical group manifest -> no bucket changed
-            gm_new = self._load_gm(m_new, gid)
-            gm_old = self._load_gm(m_old, gid)
-            for b in set(gm_new) | set(gm_old):
-                if gm_new.get(b) != gm_old.get(b):
-                    changed.append(int(b))
+        if m_new.get("shard_deltas", []) != m_old.get("shard_deltas", []):
+            # a shard generation landed (or folded) in the window —
+            # generations cover every bucket, so every bucket is a
+            # change candidate (the per-key join below finds the true
+            # diffs; this is the honest change set for a raw append)
+            changed = list(range(m_new["n_buckets"]))
+        else:
+            for gid in set(m_new["groups"]) | set(m_old["groups"]):
+                if m_new["groups"].get(gid) == m_old["groups"].get(gid):
+                    continue  # identical group manifest -> none changed
+                gm_new = self._load_gm(m_new, gid)
+                gm_old = self._load_gm(m_old, gid)
+                for b in set(gm_new) | set(gm_old):
+                    if gm_new.get(b) != gm_old.get(b):
+                        changed.append(int(b))
         key = m_new["key_cols"]
         # Stored state intentionally keeps up to TWO rows per key after a
         # delete-then-reinsert (retained tombstone + live winner). Collapse
@@ -1717,6 +1965,8 @@ class LakeTable:
         live_nodes: set[str] = set()
         for v in keep:
             m = expired_manifests.get(v) or self.snapshot(v)
+            for sg in m.get("shard_deltas", []):
+                live_files.update(sg["files"])
             for g in m["groups"].values():
                 live_nodes.add(g["m"])
             for bm_ptr_map in (self._load_gm(m, gid) for gid in m["groups"]):
@@ -1734,6 +1984,10 @@ class LakeTable:
         dead_files: set[str] = set()
         for v in expired:
             m = expired_manifests[v]
+            for sg in m.get("shard_deltas", []):
+                for f in sg["files"]:
+                    if f not in live_files:
+                        dead_files.add(f)
             for gid in m["groups"]:
                 g = m["groups"][gid]
                 if g["m"] not in live_nodes:
@@ -1852,13 +2106,35 @@ class LakeTable:
         Idempotent on batch_id; safe to run concurrently with delta
         appends (replace-mode CAS conflicts make the loser retry)."""
         m = self.snapshot()
-        victims: list[int] = []
-        for gid, g in m["groups"].items():
-            if g["delta_rows"] <= 0:
-                continue
-            for b, ptr in self._load_gm(m, gid).items():
-                if ptr["n_deltas"] > max_deltas_per_bucket:
-                    victims.append(int(b))
+        sd = m.get("shard_deltas", [])
+        eff: dict[int, int] = {}
+        if sd:
+            # Shard generations cover every bucket, so all are
+            # candidates: a bucket's effective read amplification is
+            # its own delta-list length PLUS the generations it has
+            # not folded (g.v > floor). Buckets without a pointer have
+            # floor -1 (nothing folded yet) and still carry gen rows.
+            import bisect
+
+            gens_v = sorted(g["v"] for g in sd)
+            ptrs: dict[str, dict] = {}
+            for gid in m["groups"]:
+                ptrs.update(self._load_gm(m, gid))
+            for b in range(m["n_buckets"]):
+                p = ptrs.get(str(b))
+                nd = 0 if p is None else p["n_deltas"]
+                fl = -1 if p is None else p.get("floor", -1)
+                live = len(gens_v) - bisect.bisect_right(gens_v, fl)
+                if nd + live > max_deltas_per_bucket:
+                    eff[b] = nd + live
+        else:
+            for gid, g in m["groups"].items():
+                if g["delta_rows"] <= 0:
+                    continue
+                for b, ptr in self._load_gm(m, gid).items():
+                    if ptr["n_deltas"] > max_deltas_per_bucket:
+                        eff[int(b)] = ptr["n_deltas"]
+        victims = list(eff)
         if not victims:
             return {"buckets_compacted": 0, "applied": False}
         if max_buckets is not None and len(victims) > max_buckets:
@@ -1870,16 +2146,7 @@ class LakeTable:
             # pass's problem. Read amplification still converges to the
             # policy bound — victims only stop being victims by being
             # compacted.
-            by_deltas = {}
-            for gid, g in m["groups"].items():
-                if g["delta_rows"] <= 0:
-                    continue
-                for b, ptr in self._load_gm(m, gid).items():
-                    if int(b) in set(victims):
-                        by_deltas[int(b)] = ptr["n_deltas"]
-            victims = sorted(
-                victims, key=lambda b: -by_deltas.get(b, 0)
-            )[:max_buckets]
+            victims = sorted(victims, key=lambda b: -eff[b])[:max_buckets]
         sort_cols = [BUCKET_COL, *m["key_cols"]] + (
             [m["stats_col"]] if m.get("stats_col") else []
         )
@@ -1899,6 +2166,10 @@ class LakeTable:
             batch_id or f"compact-deltas-v{m['version']}",
             metrics={"compaction": "deltas", "buckets": len(victims)},
             base_version=m["version"],
+            # the content is a fully-RESOLVED read at m["version"]:
+            # advance the victims' shard-delta floor so folded
+            # generations stop re-applying (and prune once global)
+            delta_floor=m["version"],
         )
         return {"buckets_compacted": len(victims) if ok else 0, "applied": ok}
 
@@ -1907,6 +2178,7 @@ class LakeTable:
         max_files_per_bucket: int = 8,
         batch_id: str | None = None,
         max_records_per_file: int | None = None,
+        cluster: str = "hierarchical",
     ) -> dict[str, Any]:
         """Small-file bin-packing (the OPTIMIZE analog) for APPEND-mode
         tables: every append commit adds a file per touched bucket, so a
@@ -1923,7 +2195,26 @@ class LakeTable:
         collapses base files too). Idempotent on batch_id; a concurrent
         append to a victim bucket wins the CAS race and this replace
         conflicts (retry on the next policy tick) — appends landing
-        AFTER the compaction commit rebase onto the packed file list."""
+        AFTER the compaction commit rebase onto the packed file list.
+
+        ``cluster`` picks the within-bucket layout of the packed files:
+
+        - ``"hierarchical"`` (default): sort by (key, stats_col) — the
+          1-D Z-order step. Key-range skipping gets tight per-file key
+          ranges; secondary (stats_col) pruning pays only when key
+          order correlates with the stats_col or per-key runs are
+          short.
+        - ``"zorder"``: sort by the INTERLEAVED bit order of (key,
+          stats_col) — both quantized to 16 bits against their global
+          min/max (one scalar agg job), bits interleaved JVM-side into
+          a 32-bit Z-value. Files split from the Z-sorted stream cover
+          aligned RECTANGLES of the (key, stats_col) plane, so BOTH
+          ``read(key_range=...)`` and ``read(secondary_range=...)``
+          prune files even when the dimensions are uncorrelated — the
+          true OPTIMIZE-ZORDER. Requires a declared stats_col. The
+          per-dimension quantization is min/max-scaled (skew narrows
+          effective resolution but never correctness: pruning always
+          re-checks real per-file stats)."""
         m = self.snapshot()
         victims: list[int] = []
         for gid, g in m["groups"].items():
@@ -1937,6 +2228,12 @@ class LakeTable:
                     victims.append(int(b))
         if not victims:
             return {"buckets_compacted": 0, "applied": False}
+        if cluster not in ("hierarchical", "zorder"):
+            raise ValueError(f"unknown cluster mode {cluster!r}")
+        if cluster == "zorder" and not m.get("stats_col"):
+            raise ValueError(
+                "cluster='zorder' needs a stats_col declared at create()"
+            )
         entries = self.bucket_entries(version=m["version"], buckets=victims)
         files = [
             os.path.join(self.root, f)
@@ -1944,7 +2241,7 @@ class LakeTable:
             for f in e["files"]
         ]
         schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
-        content = (
+        base = (
             self.spark.read.schema(schema).parquet(*files)
             .withColumn(
                 DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -1952,22 +2249,64 @@ class LakeTable:
             .withColumn(
                 BUCKET_COL, self.bucket_expr(m["n_buckets"], m["key_cols"])
             )
-            # partition on the BUCKET VALUE (not the key hash): all of a
-            # bucket's rows land in one task, so the partitionBy write
-            # emits exactly ONE packed file per victim bucket; sorting
-            # within the task CLUSTERS the packed file by key, giving
-            # parquet row-group min/max stats that let later key-
-            # predicate scans skip row groups (the OPTIMIZE-ZORDER
-            # analog, 1-D) — compaction is the one time this sort is
-            # free to amortize. The declared stats_col (when present)
-            # extends the sort: files split from the sorted stream get
-            # tight secondary min/max ranges too (the 1-D Z-order step)
-            .repartition(len(victims), F.col(BUCKET_COL))
-            .sortWithinPartitions(
-                *([BUCKET_COL, *m["key_cols"]]
-                  + ([m["stats_col"]] if m.get("stats_col") else []))
-            )
         )
+        # partition on the BUCKET VALUE (not the key hash): all of a
+        # bucket's rows land in one task, so the partitionBy write
+        # emits exactly ONE packed file per victim bucket; sorting
+        # within the task CLUSTERS the packed file — compaction is the
+        # one time this sort is free to amortize.
+        if cluster == "zorder":
+            scol = m["stats_col"]
+            key0 = m["key_cols"][0]
+            # rank-preserving 56-bit proxy of the first key column
+            # (utf-8 byte order == codepoint order)
+            knum = (
+                f"cast(conv(hex(substring(encode(cast({key0} as string),"
+                f" 'utf-8'), 1, 7)), 16, 10) as bigint)"
+            )
+            vnum = f"cast({scol} as bigint)"
+            lo_hi = base.agg(
+                F.expr(f"min({knum})"), F.expr(f"max({knum})"),
+                F.expr(f"min({vnum})"), F.expr(f"max({vnum})"),
+            ).collect()[0]
+            klo, khi, vlo, vhi = [
+                0 if x is None else int(x) for x in lo_hi
+            ]
+            kstep = max(1, (khi - klo + 65535) // 65536)
+            vstep = max(1, (vhi - vlo + 65535) // 65536)
+            kq = f"least(65535L, (({knum}) - {klo}L) div {kstep}L)"
+            vq = (
+                f"least(65535L, ((coalesce({vnum}, {vlo}L))"
+                f" - {vlo}L) div {vstep}L)"
+            )
+            zval = (
+                "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+                " + shiftleft(shiftright(__zk, i) & 1,"
+                " cast(2 * i + 1 as int))"
+                " + shiftleft(shiftright(__zv, i) & 1,"
+                " cast(2 * i as int)))"
+            )
+            content = (
+                base
+                .withColumn("__zk", F.expr(kq))
+                .withColumn("__zv", F.expr(vq))
+                .withColumn("__z", F.expr(zval))
+                .repartition(len(victims), F.col(BUCKET_COL))
+                .sortWithinPartitions(BUCKET_COL, "__z")
+                .drop("__zk", "__zv", "__z")
+            )
+        else:
+            # hierarchical (key, then stats_col): tight per-file key
+            # ranges for key-range skipping; the declared stats_col
+            # extends the sort (the 1-D Z-order step)
+            content = (
+                base
+                .repartition(len(victims), F.col(BUCKET_COL))
+                .sortWithinPartitions(
+                    *([BUCKET_COL, *m["key_cols"]]
+                      + ([m["stats_col"]] if m.get("stats_col") else []))
+                )
+            )
         # ``max_records_per_file`` splits each bucket's key-sorted
         # stream into key-DISJOINT files (Iceberg's target-file-size
         # split of sorted data): together with the per-file key stats
@@ -2019,12 +2358,15 @@ class LakeTable:
         ]
         if not affected:
             return {"buckets_rewritten": 0, "applied": False}
-        kept = self.read(buckets=affected).filter(~victim)
+        kept = self.read(
+            version=snap["version"], buckets=affected
+        ).filter(~victim)
         ok = self.commit(
             kept.repartition(len(affected), *snap["key_cols"]),
             affected,
             batch_id or f"compact-tombstones-{horizon_lsn}",
             metrics={"compaction": True, "horizon_lsn": horizon_lsn},
+            delta_floor=snap["version"],
         )
         return {"buckets_rewritten": len(affected) if ok else 0, "applied": ok}
 

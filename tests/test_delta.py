@@ -447,3 +447,164 @@ def test_raw_mod_shard_files_register_members_and_stay_exact(
     assert all(
         len(e["deltas"]) == 0 for e in lake.bucket_entries().values()
     )
+
+
+def test_shard_generation_registration_is_o_k(spark, tmp_path):
+    """Raw mod-shard commits register O(K) metadata, not O(n_buckets):
+    the K shard files land as ONE snapshot-level generation — zero new
+    bucket/group manifests — while bucket_entries still presents the
+    exact per-bucket logical view (residue file, floor-gated), reads
+    stay exact, partial compaction advances only the victims' floors,
+    and a fully-folded generation prunes from the snapshot."""
+    import os
+    from datetime import datetime
+
+    from etl_bitcoin_spark.operators.merge import (
+        KEY_COLS, TRANSCRIPTS_DDL, apply_batch,
+    )
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    nb = 256
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, nb
+    )
+    bm_dir = os.path.join(lake.manifest_dir, "bm")
+    gm_dir = os.path.join(lake.manifest_dir, "gm")
+
+    def _counts():
+        return (
+            len(os.listdir(bm_dir)) if os.path.isdir(bm_dir) else 0,
+            len(os.listdir(gm_dir)) if os.path.isdir(gm_dir) else 0,
+        )
+
+    def _ev(lo, n, op="I"):
+        return spark.createDataFrame(
+            [(lo + i, op, f"c{(lo + i) % 500}", (lo + i) // 500, "user",
+              f"t{lo + i}", None, datetime(2024, 1, 1)) for i in range(n)],
+            "lsn long, op string, conv_id string, turn_idx int,"
+            " role string, text string, tool string, ts timestamp",
+        ).coalesce(1)
+
+    before = _counts()
+    r = apply_batch(lake, _ev(0, 2000), "b0", merge_mode="read",
+                    delta_plan="raw")
+    assert r["applied"] and r["events"] == 2000
+    after = _counts()
+    assert after == before, (before, after)  # ZERO bm/gm writes
+
+    m = lake.snapshot()
+    assert len(m["shard_deltas"]) == 1
+    gen = m["shard_deltas"][0]
+    assert gen["v"] == m["version"] and gen["rows"] == 2000
+    assert 1 <= len(gen["files"]) <= gen["k"]
+
+    # logical per-bucket view: exactly the residue file, floor-gated
+    ent = lake.bucket_entries()
+    assert len(ent) == nb
+    for b, e in ent.items():
+        assert len(e["deltas"]) == 1, (b, e["deltas"])
+        assert f"__dshard={int(b) % gen['k']}/" in e["deltas"][0]
+    assert lake.read(user_cols=True).count() == 2000
+
+    # second generation + redelivery guard
+    r = apply_batch(lake, _ev(2000, 1000), "b1", merge_mode="read",
+                    delta_plan="raw")
+    assert r["applied"] and len(lake.snapshot()["shard_deltas"]) == 2
+    from etl_bitcoin_spark.state import ExactlyOnceFilter
+
+    r2 = apply_batch(
+        lake, _ev(0, 2000), "b0-again", merge_mode="read",
+        delta_plan="raw",
+        already_applied_filter=ExactlyOnceFilter(lake.lineage(), None),
+    )
+    assert r2.get("events", 0) == 0
+    assert len(lake.snapshot()["shard_deltas"]) == 2  # no phantom gen
+
+    # PARTIAL compaction: only the victims' floors advance; the
+    # generations stay live for everyone else; state stays exact
+    want = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in lake.read(user_cols=True).collect()
+    }
+    c = lake.compact_deltas(0, max_buckets=10)
+    assert c["applied"] and c["buckets_compacted"] == 10
+    m2 = lake.snapshot()
+    assert len(m2["shard_deltas"]) == 2  # not globally folded yet
+    floors = {
+        b: e.get("floor", -1) for b, e in
+        lake.bucket_entries(include_shard=False).items()
+    }
+    assert sum(1 for f in floors.values() if f >= 0) == 10
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in lake.read(user_cols=True).collect()
+    }
+    assert got == want
+    # folded victims see no live gens in the logical view
+    folded = [b for b, f in floors.items() if f >= 0][0]
+    assert lake.bucket_entries(buckets=[int(folded)])[folded][
+        "deltas"
+    ] == []
+
+    # FULL compaction folds everything -> generations prune away
+    c = lake.compact_deltas(0)
+    assert c["applied"]
+    assert lake.snapshot()["shard_deltas"] == []
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in lake.read(user_cols=True).collect()
+    }
+    assert got == want
+
+
+def test_shard_generation_floor_blocks_resurrection(spark, tmp_path):
+    """The floor row-exclusion is a CORRECTNESS device, not an
+    optimization: after a victim bucket folds its generations and a
+    tombstone compaction drops the delete marker, the folded
+    generations' old insert rows must NOT re-enter resolution and
+    resurrect the deleted key."""
+    from datetime import datetime
+
+    from etl_bitcoin_spark.operators.merge import (
+        KEY_COLS, TRANSCRIPTS_DDL, apply_batch,
+    )
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    nb = 16
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, nb
+    )
+    ddl = ("lsn long, op string, conv_id string, turn_idx int,"
+           " role string, text string, tool string, ts timestamp")
+    ins = spark.createDataFrame(
+        [(i, "I", f"c{i}", 0, "user", f"t{i}", None,
+          datetime(2024, 1, 1)) for i in range(40)], ddl,
+    ).coalesce(1)
+    r = apply_batch(lake, ins, "b0", merge_mode="read", delta_plan="raw")
+    assert r["applied"]
+    dels = spark.createDataFrame(
+        [(100, "D", "c7", 0, None, None, None, datetime(2024, 1, 2))],
+        ddl,
+    ).coalesce(1)
+    r = apply_batch(lake, dels, "b1", merge_mode="read",
+                    delta_plan="raw", lsn_range_hint=(100, 100))
+    assert r["applied"]
+    assert lake.read(user_cols=True).filter("conv_id = 'c7'").count() == 0
+
+    # drop the tombstone under the producer's low-watermark contract
+    # while BOTH generations are still live: the rewrite advances only
+    # the victim bucket's floor, so gen rows stay live for every other
+    # bucket but the folded insert of c7 must not re-enter resolution
+    res = lake.compact_bucket_tombstones(horizon_lsn=100)
+    assert res["applied"]
+    assert len(lake.snapshot()["shard_deltas"]) == 2  # others unfolded
+    got = lake.read(user_cols=True)
+    assert got.filter("conv_id = 'c7'").count() == 0  # stays deleted
+    assert got.count() == 39
+
+    # and the same holds after everything folds + prunes
+    assert lake.compact_deltas(0)["applied"]
+    assert lake.snapshot()["shard_deltas"] == []
+    got = lake.read(user_cols=True)
+    assert got.filter("conv_id = 'c7'").count() == 0
+    assert got.count() == 39

@@ -1192,3 +1192,68 @@ def test_expire_recovers_crashed_expiry_leftovers(spark, tmp_lake_dir):
     res = lake.expire_snapshots(keep_last=2, orphan_grace_sec=3600)
     assert not os.path.exists(leftover)
     assert res["orphans_removed"] >= 1
+
+
+def test_zorder_clustering_prunes_uncorrelated_dims(spark, tmp_path):
+    """compact_files(cluster='zorder') interleaves (key, stats_col)
+    bits so packed files cover rectangles of the plane: on a dataset
+    where key order and stats_col are UNCORRELATED, a secondary_range
+    read prunes strictly more files than the hierarchical (key, then
+    stats_col) sort at equal file count — and both layouts return
+    exactly the same rows."""
+    import random
+
+    ddl = "ev_id string, ts long, val string"
+    rnd = random.Random(11)
+    n = 4000
+    # ts is a random permutation -> zero correlation with key order
+    ts_perm = list(range(n))
+    rnd.shuffle(ts_perm)
+    rows = [
+        (f"e{i:05d}", ts_perm[i], f"v{i}", i + 1) for i in range(n)
+    ]
+
+    def _build(root, cluster):
+        lake = LakeTable.create(
+            spark, root, ddl, ["ev_id"], 2, stats_col="ts"
+        )
+        content = (
+            spark.createDataFrame(rows, f"{ddl}, {LSN_COL} long")
+            .withColumn("__deleted", F.lit(False))
+            .withColumn(BUCKET_COL, lake.bucket_expr(2, ["ev_id"]))
+        )
+        assert lake.commit(content, [], "c0", None, mode="append")
+        r = lake.compact_files(
+            max_files_per_bucket=0, max_records_per_file=125,
+            cluster=cluster,
+        )
+        assert r["applied"] and r["buckets_compacted"] == 2
+        return lake
+
+    hier = _build(str(tmp_path / "hier"), "hierarchical")
+    zord = _build(str(tmp_path / "zord"), "zorder")
+    n_files_h = len(hier.read().inputFiles())
+    n_files_z = len(zord.read().inputFiles())
+    assert abs(n_files_h - n_files_z) <= 2, (n_files_h, n_files_z)
+
+    want = sorted(r[0] for r in rows if 1000 <= r[1] <= 1250)
+    got_h = hier.read(user_cols=True, secondary_range=(1000, 1250))
+    got_z = zord.read(user_cols=True, secondary_range=(1000, 1250))
+    assert sorted(r.ev_id for r in got_h.collect()) == want
+    assert sorted(r.ev_id for r in got_z.collect()) == want
+    pruned_h = n_files_h - len(got_h.inputFiles())
+    pruned_z = n_files_z - len(got_z.inputFiles())
+    assert pruned_z > pruned_h, (
+        f"zorder pruned {pruned_z}/{n_files_z},"
+        f" hierarchical {pruned_h}/{n_files_h}"
+    )
+
+    # key-range skipping still works on the z-ordered layout
+    kr = zord.read(user_cols=True, key_range=("e01000", "e01100"))
+    assert kr.count() == 101
+    assert len(kr.inputFiles()) < n_files_z
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cluster"):
+        hier.compact_files(cluster="hilbert")
