@@ -226,6 +226,13 @@ class BinlogTailer:
 
     # -------------------------------------------------------------- run
     def _apply(self, batch_df, batch_id: int) -> None:
+        self._apply_df(batch_df, f"tail-{self.ns}-{batch_id}")
+
+    def _apply_df(self, batch_df, commit_id: str) -> None:
+        """The per-batch body (guards -> merge -> compaction policy ->
+        view relay), keyed by an explicit idempotent commit id — shared
+        by the Structured Streaming trigger (_apply) and the poll-loop
+        tailer (streaming.poll.PollTailer)."""
         from ..tableformat.lake import CommitConflict
 
         # Trigger jobs run in the weighted "live" FAIR pool (8x the
@@ -251,7 +258,7 @@ class BinlogTailer:
                 res = apply_batch(
                     self.lake,
                     batch_df,
-                    f"tail-{self.ns}-{batch_id}",
+                    commit_id,
                     already_applied_filter=guard,
                     assume_all_buckets=self.assume_all_buckets,
                     merge_mode="read" if self.merge_on_read else "write",
@@ -303,11 +310,11 @@ class BinlogTailer:
 
                         self._maint = ThreadPoolExecutor(max_workers=1)
                     self._maint_fut = self._maint.submit(
-                        self._compact_once, f"compact-{self.ns}-{batch_id}"
+                        self._compact_once, f"compact-{commit_id}"
                     )
                     res = dict(res, compaction="scheduled")
             else:
-                c = self._compact_once(f"compact-{self.ns}-{batch_id}")
+                c = self._compact_once(f"compact-{commit_id}")
                 if c["applied"]:
                     res = dict(
                         res, compacted_buckets=c["buckets_compacted"]

@@ -150,6 +150,71 @@ def run_mode(spark, wal: str, merge_on_read: bool,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def run_poll_mode(spark, wal: str) -> dict:
+    """PollTailer at the raw-plan settings: same guards, same commit,
+    same read-amp bound — minus the Spark streaming trigger machinery.
+    Latency = full poll-iteration wall (listing + guards + merge +
+    commit + cursor)."""
+    from etl_bitcoin_spark.operators.merge import KEY_COLS, TRANSCRIPTS_DDL
+    from etl_bitcoin_spark.streaming import PollTailer
+    from etl_bitcoin_spark.tableformat import LakeTable
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    lake_dir = tempfile.mkdtemp(prefix="lat_lake_", dir=base)
+    ckpt = tempfile.mkdtemp(prefix="lat_ckpt_", dir=base)
+    try:
+        lake = LakeTable.create(spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 64)
+        tailer = PollTailer(
+            spark, wal, lake, ckpt,
+            max_files_per_trigger=FILES_PER_TRIGGER,
+            merge_on_read=True,
+            compact_max_deltas=COMPACT_MAX_DELTAS,
+            compact_policy="async",
+            compact_max_buckets=COMPACT_MAX_BUCKETS,
+            delta_plan="auto",
+        )
+        out = tailer.run_poll(until_events=N_EVENTS, timeout_sec=600)
+        walls = out["iteration_secs"]
+        cold = walls[0] if walls else None
+        warm = walls[1:] if len(walls) > 1 else walls
+        applied = out["applied"]
+        n_compactions = sum(
+            1 for r in out["batch_results"]
+            if r.get("compacted_buckets") or r.get("compaction") == "scheduled"
+        )
+        max_deltas = max(
+            (len(e["deltas"]) for e in lake.bucket_entries().values()),
+            default=0,
+        )
+        return {
+            "mode": "poll_raw",
+            "events": N_EVENTS,
+            "files_per_trigger": FILES_PER_TRIGGER,
+            "micro_batches": len(walls),
+            "events_per_batch": N_EVENTS // max(1, len(walls)),
+            "applied": applied,
+            "cold_first_batch_sec": cold,
+            "batch_latency_sec": {
+                "p50": pct(warm, 0.5),
+                "p90": pct(warm, 0.9),
+                "p99": pct(warm, 0.99),
+                "max": max(warm) if warm else None,
+            },
+            "addBatch_sec": {"p50": None, "p90": None},
+            "compaction_batches": n_compactions,
+            "final_max_deltas_per_bucket": max_deltas,
+            "sustained_events_per_sec": (
+                round(
+                    (applied - N_EVENTS // max(1, len(walls)))
+                    / sum(warm), 1,
+                ) if warm else None
+            ),
+        }
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     from bench import _wal_dir  # reuse the cached seeded WAL
 
@@ -182,12 +247,19 @@ def main() -> None:
             r["mode"] = "merge_on_read_raw"
         reports[r["mode"]] = r
         print(json.dumps(r))
+    poll_runs = [run_poll_mode(spark, wal) for _ in range(n_runs)]
+    rp = min(
+        poll_runs, key=lambda x: x["batch_latency_sec"]["p50"] or 1e9
+    )
+    rp["all_p50s"] = [x["batch_latency_sec"]["p50"] for x in poll_runs]
+    reports["poll_raw"] = rp
+    print(json.dumps(rp))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "latency.json"), "w") as f:
         json.dump(reports, f, indent=1)
 
     MODES = ("merge_on_write", "merge_on_read", "merge_on_read_async",
-             "merge_on_read_raw")
+             "merge_on_read_raw", "poll_raw")
 
     def row(name, fn, fmt="{:.2f}"):
         cells = []
@@ -211,8 +283,8 @@ def main() -> None:
         "",
         "| metric | merge-on-write | merge-on-read (inline compact) "
         "| merge-on-read (async compact) | merge-on-read (raw plan, "
-        "async) |",
-        "|---|---|---|---|---|",
+        "async) | poll loop (raw plan, async — no Spark trigger) |",
+        "|---|---|---|---|---|---|",
         row("micro-batches", lambda r: r["micro_batches"], "{:.0f}"),
         row("events/batch", lambda r: r["events_per_batch"], "~{:,.0f}"),
         row("p50 batch latency (s)", lambda r: r["batch_latency_sec"]["p50"]),

@@ -6,6 +6,7 @@ The analogs of the reference's end-to-end pipeline test
 reconverge to the oracle state.
 """
 
+import os
 import shutil
 
 import pandas as pd
@@ -688,3 +689,90 @@ def test_raw_delta_plan_stays_engaged_at_moderate_multiplicity(
         F.col("conv_id") == "c0_0"
     ).collect()
     assert len(got) == 1 and got[0].text == f"t{keys_per_seg}"
+
+
+def test_poll_tailer_drain_matches_oracle(spark, tmp_path, binlog_pdf):
+    """PollTailer (the reference's poll shape, no Spark trigger
+    machinery) drains the WAL to exactly the oracle state through the
+    same guard/merge/compaction body as the streaming tailer."""
+    from etl_bitcoin_spark.streaming import PollTailer
+
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    t = PollTailer(
+        spark, wal, lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, merge_on_read=True,
+        compact_max_deltas=4,
+    )
+    results = t.run_available()
+    assert sum(r.get("events", 0) for r in results) == len(
+        binlog_pdf.drop_duplicates("lsn")
+    )
+    _check(lake, binlog_pdf)
+    # read-amp policy bound holds at stop (flush runs the final pass)
+    assert all(
+        len(e["deltas"]) <= 4 for e in lake.bucket_entries().values()
+    )
+    # idle poll is a no-op
+    assert t.poll_once() is None
+
+
+def test_poll_tailer_restart_and_lost_cursor_exactly_once(
+    spark, tmp_path, binlog_pdf
+):
+    """Poll-tailer crash/restart semantics, all three layers:
+
+    1. restart mid-drain (fresh instance, same checkpoint) resumes
+       from the cursor and converges;
+    2. a crash BETWEEN the lake commit and the cursor write replays
+       the same segment batch — absorbed by the batch ledger;
+    3. losing the cursor file entirely replays the WHOLE WAL — the
+       lsn guards absorb every event, state unchanged."""
+    from etl_bitcoin_spark.streaming import PollTailer
+
+    wal = str(tmp_path / "wal")
+    write_segments(binlog_pdf, wal)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    # drain the first 2 batches, then "crash"
+    t1 = PollTailer(spark, wal, lake, ckpt, max_files_per_trigger=2,
+                    merge_on_read=True)
+    assert t1.poll_once() is not None
+    # simulate crash AFTER commit, BEFORE cursor write: apply a batch
+    # manually without advancing the cursor
+    segs = t1._pending()
+    take = segs[:2]
+    df = spark.read.schema(
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp"
+    ).parquet(*[f"{wal}/{n}" for n in take])
+    t1._apply_df(df, f"poll-{t1.ns}-{take[0]}-{take[-1]}")
+    applied_mid = lake.snapshot()["version"]
+
+    # fresh instance (restart): re-polls the SAME two segments (cursor
+    # never advanced) -> identical commit id -> ledger no-op; then
+    # drains the rest and converges
+    t2 = PollTailer(spark, wal, lake, ckpt, max_files_per_trigger=2,
+                    merge_on_read=True)
+    r = t2.poll_once()
+    assert r is not None and r.get("events", 0) == 0  # replay absorbed
+    assert not r.get("applied", True)  # duplicate batch_id no-op
+    t2.run_available()
+    _check(lake, binlog_pdf)
+    assert applied_mid <= lake.snapshot()["version"]
+
+    # lose the cursor entirely: a full re-drain (different batching,
+    # max_files=3 -> different commit ids) applies ZERO events — the
+    # exact lsn guards absorb everything
+    os.remove(os.path.join(ckpt, "poll_cursor.json"))
+    t3 = PollTailer(spark, wal, lake, ckpt, max_files_per_trigger=3,
+                    merge_on_read=True)
+    results = t3.run_available()
+    assert sum(r.get("events", 0) for r in results) == 0
+    _check(lake, binlog_pdf)
