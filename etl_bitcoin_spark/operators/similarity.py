@@ -70,26 +70,41 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
 def rhp_signature(
     df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
     vec_col: str = "embedding", out_col: str = "sig",
+    margins_col: str | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature: bit j = sign(v . h_j). Hyperplanes
-    are a deterministic literal array -> pure JVM evaluation."""
+    are a deterministic literal array -> pure JVM evaluation.
+
+    ``margins_col`` additionally keeps the raw per-hyperplane dots
+    ``m[j] = v . h_j`` (the QUERY-DIRECTED multi-probe signal: |m[j]|
+    is the distance to hyperplane j's boundary, so the buckets most
+    likely to hide a near-neighbor are the ones reached by flipping
+    the smallest-|margin| bits — Lv et al., VLDB'07)."""
     planes = _hyperplanes(dim, n_bits, seed)
     planes_lit = F.array(
         *[F.array(*[F.lit(x) for x in p]) for p in planes]
     )
     df = df.withColumn("__planes", planes_lit)
+    margins = F.expr(
+        f"transform(__planes, p -> {DOT.format(a=vec_col, b='p')})"
+    )
+    df = df.withColumn("__m", margins)
     sig = F.expr(
-        f"""
+        """
         aggregate(
           zip_with(
-            transform(__planes, p ->
-              CASE WHEN {DOT.format(a=vec_col, b='p')} > 0D THEN 1L ELSE 0L END),
-            sequence(0, size(__planes) - 1),
+            transform(__m, x -> CASE WHEN x > 0D THEN 1L ELSE 0L END),
+            sequence(0, size(__m) - 1),
             (bit, i) -> shiftleft(bit, cast(i as int))),
           0L, (acc, v) -> acc + v)
         """
     )
-    return df.withColumn(out_col, sig).drop("__planes")
+    df = df.withColumn(out_col, sig).drop("__planes")
+    if margins_col is None:
+        return df.drop("__m")
+    if margins_col == "__m":
+        return df
+    return df.withColumnRenamed("__m", margins_col)
 
 
 def lsh_topk(
@@ -98,6 +113,7 @@ def lsh_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_to: int | None = None,
     probes: int = 0,
+    probe_budget: int | None = None,
 ) -> DataFrame:
     """ANN: candidates share the RHP signature bucket; exact cosine
     rerank within the bucket. Recall rises with fewer bits / more
@@ -105,7 +121,7 @@ def lsh_topk(
     the cosine BEFORE ranking (cross-engine-stable tie behavior for the
     oracle gate).
 
-    ``probes`` is the MULTI-PROBE Hamming radius: each query also
+    ``probes`` is the blind MULTI-PROBE Hamming radius: each query also
     probes every signature within ``probes`` bit flips of its own
     (probes=1 -> the exact bucket plus n_bits 1-flip neighbors). A
     near-neighbor that disagrees with the query on a few hyperplane
@@ -115,13 +131,29 @@ def lsh_topk(
     stay per-bucket, and the corpus is still scanned exactly once. A
     (qid, cid) pair can match at most one probed bucket (the corpus
     signature is fixed and the probe set is distinct), so no dedup
-    pass is needed."""
+    pass is needed.
+
+    ``probe_budget=T`` is QUERY-DIRECTED multi-probe (standard
+    multi-probe LSH, Lv et al. VLDB'07): instead of flipping blindly,
+    each query probes the T buckets most likely to hold its
+    near-neighbors — candidate flips are every 1- and 2-bit subset
+    ranked by the summed |margin| of the flipped hyperplanes (a small
+    |v.h_j| means the neighbor plausibly sits on the other side of
+    h_j), exact bucket first. Radius-2 recall at a radius-1 probe
+    count; the ranking is pure JVM array algebra on the bounded query
+    frame (sort of n_bits + C(n_bits,2) structs per query). Exclusive
+    with ``probes``."""
     from itertools import combinations
 
     from pyspark.sql import Window
 
     if not 0 <= probes <= n_bits:
         raise ValueError(f"probes must be in [0, {n_bits}]")
+    if probe_budget is not None and probes > 0:
+        raise ValueError("pass probes OR probe_budget, not both")
+    max_budget = 1 + n_bits + n_bits * (n_bits - 1) // 2
+    if probe_budget is not None and not 1 <= probe_budget <= max_budget:
+        raise ValueError(f"probe_budget must be in [1, {max_budget}]")
     c = rhp_signature(
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
         dim, n_bits, seed, "cv",
@@ -129,8 +161,39 @@ def lsh_topk(
     q = rhp_signature(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
         dim, n_bits, seed, "qv",
+        margins_col="__m" if probe_budget is not None else None,
     )
-    if probes > 0:
+    if probe_budget is not None:
+        # rank candidate flips (singles + pairs) by summed |margin|,
+        # keep the T-1 cheapest after the exact bucket (mask 0). The
+        # probe masks are distinct per query, so a (qid, cid) pair
+        # still matches at most one probed bucket — no dedup needed.
+        nb = n_bits
+        flips = F.expr(
+            f"""
+            slice(array_sort(concat(
+              transform(sequence(0, {nb} - 1), j ->
+                struct(abs(__m[j]) as cost,
+                       shiftleft(1L, j) as mask)),
+              flatten(transform(sequence(0, {nb} - 2), j ->
+                transform(sequence(j + 1, {nb} - 1), k ->
+                  struct(abs(__m[j]) + abs(__m[k]) as cost,
+                         shiftleft(1L, j) + shiftleft(1L, k) as mask))))
+            )), 1, {probe_budget - 1})
+            """
+        )
+        q = (
+            q.withColumn("__flips", flips)
+            .withColumn(
+                "sig",
+                F.explode(F.expr(
+                    "concat(array(sig),"
+                    " transform(__flips, s -> sig ^ s.mask))"
+                )),
+            )
+            .drop("__m", "__flips")
+        )
+    elif probes > 0:
         masks = [0] + [
             sum(1 << j for j in comb)
             for r in range(1, probes + 1)

@@ -375,3 +375,61 @@ def test_jaccard_df_cap_bounds_hot_shingle(spark):
         for r in _jaccard_pairs(sh_small, max_df=1 << 40).collect()
     }
     assert capped == uncapped
+
+
+def test_lsh_margin_probing_beats_blind_radius1_at_equal_budget(
+    spark, emb
+):
+    """Query-directed multi-probe (probe_budget=T): flips ranked by the
+    query's hyperplane |margins| (smallest flipped first, singles and
+    pairs competing) must beat BLIND radius-1 probing on the planted
+    near-duplicates at the SAME probed-bucket budget (1 + n_bits
+    buckets per query) — radius-2 recall at radius-1 cost."""
+    import numpy as np
+
+    rows = (
+        emb.filter(F.col("vec_id") < 40)
+        .select("vec_id", "embedding").collect()
+    )
+    rng = np.random.default_rng(7)
+    pert = [
+        (
+            int(r.vec_id) + 10000,
+            (
+                np.array(r.embedding, dtype=float)
+                + 0.25 * rng.standard_normal(len(r.embedding))
+                * np.linalg.norm(r.embedding) / 8
+            ).astype(np.float32).tolist(),
+        )
+        for r in rows
+    ]
+    aug = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(pert, "vec_id long, embedding array<float>")
+    )
+    q = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+
+    def planted_hits(**kw):
+        top = similarity.lsh_topk(
+            aug, q, dim=64, k=10, n_bits=8, **kw
+        ).collect()
+        found = {(r.qid, r.cid) for r in top}
+        return sum(
+            1 for r in rows if (r.vec_id, r.vec_id + 10000) in found
+        )
+
+    blind_r1 = planted_hits(probes=1)          # 1 + 8 buckets/query
+    margin = planted_hits(probe_budget=9)      # same 9-bucket budget
+    assert margin > blind_r1, (blind_r1, margin)
+    # sanity: full budget degenerates to radius-2 blind
+    full = planted_hits(probe_budget=1 + 8 + 28)
+    r2 = planted_hits(probes=2)
+    assert full == r2, (full, r2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="probe_budget"):
+        similarity.lsh_topk(aug, q, dim=64, n_bits=8, probe_budget=99)
+    with pytest.raises(ValueError, match="not both"):
+        similarity.lsh_topk(
+            aug, q, dim=64, n_bits=8, probes=1, probe_budget=3
+        )
