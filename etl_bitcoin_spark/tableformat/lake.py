@@ -81,6 +81,7 @@ buckets are untouched) or get ``CommitConflict``.
 from __future__ import annotations
 
 import hashlib
+import inspect
 import json
 import math
 import os
@@ -237,6 +238,71 @@ def _footer_key_stats(md, key_col: str) -> list[str] | None:
         raise TypeError(type(v))
 
     return _footer_minmax(md, key_col, _to_str)
+
+
+# --- per-file key Bloom filters (point-lookup file skipping) -----------
+# [min,max] key ranges prune nothing on UNcompacted buckets: every
+# commit's file spans a near-full slice of the bucket's key space
+# (hash-bucketing scatters keys), so ranges overlap almost totally
+# until a clustered compaction. A tiny per-file Bloom over the file's
+# DISTINCT first-key values closes that gap: a miss PROVES the key is
+# absent (no false negatives), so skipping on a miss is sound through
+# merge-on-read resolution by the same argument as key-range skipping.
+# The bloom rides as an OPTIONAL THIRD element of the existing
+# key_stats entry ([lo, hi, b64]) — every manifest carry-forward path
+# copies it opaquely. Mirrors the reference's batched point lookups
+# (rpcclient.go:31-101) with an Iceberg-style manifest fast path.
+def _bloom_build(values):
+    """base64 Bloom over the distinct string values of one file's first
+    key column; None when the file holds too many distinct keys for the
+    64 Kbit size cap to be useful (<~2.5 bits/key -> FPP near 1, dead
+    weight in the manifest). crc32 double hashing with 7 probes (~0.9%
+    FPP at 10 bits/key): stable across processes and Python versions.
+
+    SELF-CONTAINED BY CONTRACT (stdlib imports inside, constants
+    inlined, no module globals): the distributed footer job ships this
+    function's SOURCE by value (inspect.getsource + exec) so the
+    executor-side builder can never drift from the driver/read-side
+    one — a drifted builder would produce false negatives, i.e. files
+    wrongly skipped on point lookups."""
+    import base64
+    import zlib
+
+    vals = {v for v in values if isinstance(v, str)}
+    if not vals or len(vals) * 10 > (1 << 16) * 4:
+        return None
+    bits = 256
+    while bits < len(vals) * 10 and bits < (1 << 16):
+        bits <<= 1
+    arr = bytearray(bits // 8)
+    for v in vals:
+        b = v.encode("utf-8")
+        h1 = zlib.crc32(b)
+        h2 = zlib.crc32(b, 0x9E3779B9) | 1
+        for i in range(7):
+            idx = (h1 + i * h2) % bits
+            arr[idx >> 3] |= 1 << (idx & 7)
+    return base64.b64encode(bytes(arr)).decode("ascii")
+
+
+def _bloom_miss(b64: str, value: str) -> bool:
+    """True iff the Bloom PROVES ``value`` is absent from the file
+    (false positives keep extra files — never correctness; false
+    negatives are impossible by construction). Probe sequence must
+    mirror _bloom_build bit-for-bit."""
+    import base64
+    import zlib
+
+    arr = base64.b64decode(b64)
+    bits = len(arr) * 8
+    b = value.encode("utf-8")
+    h1 = zlib.crc32(b)
+    h2 = zlib.crc32(b, 0x9E3779B9) | 1
+    for i in range(7):
+        idx = (h1 + i * h2) % bits
+        if not (arr[idx >> 3] & (1 << (idx & 7))):
+            return True
+    return False
 
 
 class CommitConflict(RuntimeError):
@@ -601,6 +667,7 @@ class LakeTable:
         key_range: tuple[str | None, str | None] | None = None,
         tag: str | None = None,
         secondary_range: tuple[int | None, int | None] | None = None,
+        keys: list[str] | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``buckets`` prunes to those buckets only —
         the MERGE's partition-pruning fast path (only touched buckets are
@@ -654,7 +721,29 @@ class LakeTable:
         pruning unsound.
         After a clustered compaction (which sorts by key THEN
         stats_col), pruning pays off when key order correlates with the
-        stats_col or per-key row counts are small."""
+        stats_col or per-key row counts are small.
+
+        ``keys=[...]`` is the BATCHED POINT LOOKUP (the reference's
+        rpcclient.go:31-101 shape, manifest-accelerated): rows whose
+        FIRST key column equals any requested value. Three pruning
+        layers compose, each sound through merge-on-read resolution
+        (a kept key's rows all live in kept files; skipped files
+        PROVABLY lack every requested key):
+
+        1. bucket pruning — for single-key-column tables the touched
+           buckets derive from the keys themselves (one tiny local
+           job computing the same hash Spark uses); composite-key
+           tables scan all buckets (a conv's turns hash-scatter);
+        2. per-file [min,max] key-range skipping (as ``key_range``);
+        3. per-file Bloom skipping — commits made with
+           ``key_bloom=True`` record a small Bloom over each file's
+           distinct first-key values; a Bloom miss for every
+           requested key skips the file even when its [min,max]
+           range covers them (the UNcompacted-bucket case, where
+           ranges overlap almost totally and prune nothing).
+
+        Intended for bounded key sets (the driver probes each kept
+        file's Bloom per key); exclusive with ``key_range``."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")
@@ -663,6 +752,28 @@ class LakeTable:
             except KeyError:
                 raise ValueError(f"unknown tag {tag!r}") from None
         m = self.snapshot(version)
+        kset: list[str] | None = None
+        if keys is not None:
+            if key_range is not None:
+                raise ValueError("pass keys OR key_range, not both")
+            kset = sorted(set(keys))
+            if not kset:
+                raise ValueError("keys must be non-empty")
+            if buckets is None and len(m["key_cols"]) == 1:
+                # single-key-column table: the touched buckets are a
+                # pure function of the keys — compute them with the
+                # SAME hash Spark's bucket_expr uses (a tiny local job
+                # over |keys| literal rows, never a table scan)
+                kdf = self.spark.createDataFrame(
+                    [(k,) for k in kset], f"{m['key_cols'][0]} string"
+                )
+                buckets = sorted(
+                    r[0] for r in kdf.select(
+                        self.bucket_expr(
+                            m["n_buckets"], m["key_cols"]
+                        ).alias("b")
+                    ).distinct().collect()
+                )
         entries = self.bucket_entries(
             version=m["version"], buckets=buckets, include_shard=False
         )
@@ -708,6 +819,25 @@ class LakeTable:
                     (klo is None or st[1] >= klo)
                     and (khi is None or st[0] <= khi)
                 )
+        elif kset is not None:
+            plo, phi = kset[0], kset[-1]
+
+            def _kkeep(e, f):
+                st = e.get("key_stats", {}).get(f)
+                if st is None:
+                    return True  # absent stats prove nothing
+                if st[1] < plo or st[0] > phi:
+                    return False  # range excludes every requested key
+                if len(st) > 2 and st[2]:
+                    # Bloom recorded at commit: keep the file only if
+                    # some in-range key MIGHT be present (a miss for
+                    # all of them proves none is — no false negatives)
+                    return any(
+                        not _bloom_miss(st[2], k)
+                        for k in kset
+                        if st[0] <= k <= st[1]
+                    )
+                return True
         else:
             def _kkeep(e, f):
                 return True
@@ -862,13 +992,19 @@ class LakeTable:
 
             def _scan(files):  # noqa: F811 — bucket-filtered variant
                 return _scan_nb(files).filter(bexpr.isin(want_b))
-        if key_range is not None:
+        if key_range is not None or kset is not None:
             kcol = F.col(m["key_cols"][0])
-            kcond = F.lit(True)
-            if key_range[0] is not None:
-                kcond = kcond & (kcol >= F.lit(key_range[0]))
-            if key_range[1] is not None:
-                kcond = kcond & (kcol <= F.lit(key_range[1]))
+            if kset is not None:
+                # rows of non-requested keys drop BEFORE resolution
+                # (they may be incomplete in the pruned file set and
+                # are not part of the answer) — same rule as key_range
+                kcond = kcol.isin(kset)
+            else:
+                kcond = F.lit(True)
+                if key_range[0] is not None:
+                    kcond = kcond & (kcol >= F.lit(key_range[0]))
+                if key_range[1] is not None:
+                    kcond = kcond & (kcol <= F.lit(key_range[1]))
             df = df.filter(kcond)
             _scan_raw = _scan
 
@@ -945,6 +1081,7 @@ class LakeTable:
         shard_mod: int | None = None,
         compression: str | None = None,
         delta_floor: int | None = None,
+        key_bloom: bool = False,
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -1108,10 +1245,22 @@ class LakeTable:
 
             def _meta(item):
                 b, entry, fn = item
-                md = pq.read_metadata(os.path.join(out_dir, entry, fn))
+                path = os.path.join(out_dir, entry, fn)
+                md = pq.read_metadata(path)
+                kst = _footer_key_stats(md, key0)
+                if key_bloom and kst is not None:
+                    # one extra single-column read of the fresh file
+                    # (opt-in: point-lookup tables only) — the Bloom
+                    # rides as key_stats' optional third element
+                    bl = _bloom_build(
+                        pq.read_table(path, columns=[key0])
+                        .column(0).to_pylist()
+                    )
+                    if bl is not None:
+                        kst = kst + [bl]
                 return (
                     b, os.path.join(rel, entry, fn), md.num_rows,
-                    _footer_lsn_stats(md), _footer_key_stats(md, key0),
+                    _footer_lsn_stats(md), kst,
                     None if scol is None else _footer_val_stats(md, scol),
                 )
 
@@ -1143,12 +1292,25 @@ class LakeTable:
             lsn_col = LSN_COL
             key0 = prev["key_cols"][0]
             scol = prev.get("stats_col")
+            # ship the CANONICAL bloom builder by VALUE (source string
+            # captured in the closure cell): the executor exec's the
+            # exact same code the driver and read path use, so the two
+            # can never drift (drift = false negatives = wrong pruning)
+            bloom_src = (
+                inspect.getsource(_bloom_build) if key_bloom else None
+            )
 
             def _read_footers(batches):
                 # self-contained closure (pyarrow only): survives pickling
                 # to python workers regardless of how the driver found
                 # this package (see state.py bloom UDF for the same rule)
                 import pyarrow.parquet as _pq
+
+                _bl_build = None
+                if bloom_src is not None:
+                    _ns: dict = {}
+                    exec(bloom_src, _ns)  # noqa: S102 — own source
+                    _bl_build = _ns["_bloom_build"]
 
                 def _minmax(md, name):
                     lo = hi = None
@@ -1194,7 +1356,7 @@ class LakeTable:
                 for pdf in batches:
                     pdf = pdf.copy()
                     rows, los, his, klos, khis = [], [], [], [], []
-                    vlos, vhis = [], []
+                    vlos, vhis, bls = [], [], []
                     for p in pdf["abspath"]:
                         md = _pq.read_metadata(p)
                         rows.append(md.num_rows)
@@ -1208,6 +1370,13 @@ class LakeTable:
                             klo = khi = None
                         klos.append(klo)
                         khis.append(khi)
+                        bl = None
+                        if _bl_build is not None and klo is not None:
+                            bl = _bl_build(
+                                _pq.read_table(p, columns=[key0])
+                                .column(0).to_pylist()
+                            )
+                        bls.append(bl)
                         vst = None if scol is None else _minmax(md, scol)
                         vlo = None if vst is None else _v(vst[0], False)
                         vhi = None if vst is None else _v(vst[1], True)
@@ -1218,8 +1387,10 @@ class LakeTable:
                     pdf["rows"], pdf["lsn_lo"], pdf["lsn_hi"] = rows, los, his
                     pdf["key_lo"], pdf["key_hi"] = klos, khis
                     pdf["val_lo"], pdf["val_hi"] = vlos, vhis
+                    pdf["key_bl"] = bls
                     yield pdf[["b", "relpath", "rows", "lsn_lo", "lsn_hi",
-                               "key_lo", "key_hi", "val_lo", "val_hi"]]
+                               "key_lo", "key_hi", "val_lo", "val_hi",
+                               "key_bl"]]
 
             stats = meta_rows.repartition(
                 min(len(work), 2 * int(self.spark.sparkContext.defaultParallelism))
@@ -1227,7 +1398,7 @@ class LakeTable:
                 _read_footers,
                 "b string, relpath string, rows long, lsn_lo long, "
                 "lsn_hi long, key_lo string, key_hi string, "
-                "val_lo long, val_hi long",
+                "val_lo long, val_hi long, key_bl string",
             ).collect()
             for r in stats:
                 info = per_bucket.setdefault(
@@ -1241,9 +1412,11 @@ class LakeTable:
                         int(r["lsn_lo"]), int(r["lsn_hi"])
                     ]
                 if r["key_lo"] is not None:
-                    info["kstats"][r["relpath"]] = [
-                        r["key_lo"], r["key_hi"]
-                    ]
+                    info["kstats"][r["relpath"]] = (
+                        [r["key_lo"], r["key_hi"], r["key_bl"]]
+                        if r["key_bl"] is not None
+                        else [r["key_lo"], r["key_hi"]]
+                    )
                 if r["val_lo"] is not None:
                     info["vstats"][r["relpath"]] = [
                         int(r["val_lo"]), int(r["val_hi"])
@@ -2179,6 +2352,7 @@ class LakeTable:
         batch_id: str | None = None,
         max_records_per_file: int | None = None,
         cluster: str = "hierarchical",
+        key_bloom: bool = False,
     ) -> dict[str, Any]:
         """Small-file bin-packing (the OPTIMIZE analog) for APPEND-mode
         tables: every append commit adds a file per touched bucket, so a
@@ -2319,6 +2493,7 @@ class LakeTable:
             metrics={"compaction": "files", "buckets": len(victims)},
             base_version=m["version"],
             max_records_per_file=max_records_per_file,
+            key_bloom=key_bloom,
         )
         return {"buckets_compacted": len(victims) if ok else 0, "applied": ok}
 

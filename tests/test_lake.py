@@ -1257,3 +1257,123 @@ def test_zorder_clustering_prunes_uncorrelated_dims(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cluster"):
         hier.compact_files(cluster="hilbert")
+
+
+def test_bloom_roundtrip_and_shipped_source():
+    """Pure-python contract of the point-lookup Bloom: no false
+    negatives ever, useful rejection for absent keys, and the source
+    string the distributed footer job exec's on executors (the
+    ship-by-value anti-drift mechanism) produces bit-identical blooms
+    to the module function the driver and read path use."""
+    import inspect
+
+    from etl_bitcoin_spark.tableformat.lake import _bloom_build, _bloom_miss
+
+    present = [f"conv_{i:05d}" for i in range(500)]
+    bl = _bloom_build(present + present)  # duplicates collapse
+    assert bl is not None
+    # no false negatives: every inserted key MUST probe as maybe-present
+    assert all(not _bloom_miss(bl, k) for k in present)
+    # useful rejection: the overwhelming majority of absent keys miss
+    absent = [f"other_{i:05d}" for i in range(500)]
+    assert sum(_bloom_miss(bl, k) for k in absent) >= 450
+    # executor-side builder == driver-side builder, bit for bit
+    ns: dict = {}
+    exec(inspect.getsource(_bloom_build), ns)
+    assert ns["_bloom_build"](present) == _bloom_build(present)
+    # cap: a file with too many distinct keys records no bloom (FPP ~1
+    # would be manifest dead weight, and absent blooms prune nothing)
+    assert _bloom_build([f"k{i}" for i in range(40000)]) is None
+
+
+def test_point_lookup_keys_bloom_skipping(spark, tmp_lake_dir):
+    """read(keys=[...]) — the batched point lookup (reference
+    rpcclient.go:31-101 shape). Three append commits with INTERLEAVED
+    key populations make every file's [min,max] key range span the
+    whole key space (range skipping keeps everything); per-file Blooms
+    recorded by commit(key_bloom=True) still prune to the file(s)
+    actually holding the key — and the answer stays exact, including
+    through a merge-on-read delta."""
+    from etl_bitcoin_spark.operators.merge import apply_batch
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    # commit c holds convs {i : i % 3 == c}: each file's key range is
+    # ~[conv_00c, conv_(117+c)] — total overlap, ranges prune nothing
+    for c in range(3):
+        rows = [
+            (f"conv_{i:03d}", 0, "user", f"t{i}", None,
+             "2024-01-01 00:00:00", 1000 * c + i)
+            for i in range(c, 120, 3)
+        ]
+        assert lake.commit(
+            _with_bucket(lake, _mk(spark, rows)).coalesce(1), [],
+            f"a{c}", None, mode="append", key_bloom=True,
+        )
+    ent = lake.bucket_entries()
+    n_files = sum(len(e["files"]) for e in ent.values())
+    assert n_files == 6  # 3 commits x 2 buckets
+    # every file carries [lo, hi, bloom] and the ranges genuinely
+    # overlap the probe key (so any pruning below is the Bloom's work)
+    for e in ent.values():
+        for f in e["files"]:
+            st = e["key_stats"][f]
+            assert len(st) == 3 and st[2], st
+            assert st[0] <= "conv_010" <= st[1]
+
+    full = lake.read(user_cols=True)
+    one = lake.read(user_cols=True, keys=["conv_010"])
+    assert [(r.conv_id, r.text) for r in one.collect()] == [
+        ("conv_010", "t10")
+    ]
+    # conv_010 lives in exactly one commit's file of one bucket; Bloom
+    # misses skip the other five (allow one false positive)
+    assert len(one.inputFiles()) <= 2 < len(full.inputFiles())
+
+    # batched: keys from different commits/buckets, still exact
+    got = lake.read(user_cols=True, keys=["conv_010", "conv_011", "nope"])
+    assert sorted(r.conv_id for r in got.collect()) == [
+        "conv_010", "conv_011"
+    ]
+
+    # composes with merge-on-read: a delta update resolves through the
+    # pruned point lookup (delta files carry no bloom -> never skipped)
+    ev = spark.createDataFrame(
+        [(9000, "U", "conv_010", 0, "user", "updated", None,
+          __import__("datetime").datetime(2025, 1, 1))],
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp",
+    )
+    apply_batch(lake, ev, "d1", merge_mode="read")
+    got = lake.read(user_cols=True, keys=["conv_010"]).collect()
+    assert [(r.conv_id, r.text) for r in got] == [("conv_010", "updated")]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keys OR key_range"):
+        lake.read(keys=["x"], key_range=("a", "z"))
+    with pytest.raises(ValueError, match="non-empty"):
+        lake.read(keys=[])
+
+
+def test_point_lookup_bucket_derivation_single_key_col(spark, tmp_path):
+    """Single-key-column tables derive the touched buckets FROM the
+    requested keys (same hash Spark's bucket_expr uses): a point lookup
+    on a 16-bucket table opens only the key's own bucket — at 100 TB
+    the difference between one manifest group and the whole table."""
+    root = str(tmp_path / "kv")
+    lake = LakeTable.create(
+        spark, root, "k string, v string", ["k"], 16
+    )
+    rows = [(f"k{i:03d}", f"v{i}", i) for i in range(64)]
+    df = spark.createDataFrame(rows, f"k string, v string, {LSN_COL} long")
+    df = df.withColumn(BUCKET_COL, lake.bucket_expr(16, ["k"]))
+    affected = [
+        r[BUCKET_COL] for r in df.select(BUCKET_COL).distinct().collect()
+    ]
+    assert lake.commit(df, affected, "b1", (0, 63))
+    one = lake.read(user_cols=True, keys=["k007"])
+    assert [(r.k, r.v) for r in one.collect()] == [("k007", "v7")]
+    # only the derived bucket's file is opened
+    want_b = df.filter(F.col("k") == "k007").select(BUCKET_COL).first()[0]
+    files = one.inputFiles()
+    assert files and all(f"{BUCKET_COL}={want_b}/" in f for f in files)
