@@ -445,6 +445,7 @@ def apply_batch(
     merge_mode: str = "write",
     merge_strategy: str = "window",
     delta_plan: str = "summary",
+    key_bloom: bool = False,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the lake table.
 
@@ -461,6 +462,13 @@ def apply_batch(
     merge-on-write exactly (see module docstring: one-shot resolution
     over base ∪ delta summaries equals sequential replay); pair with
     ``lake.compact_deltas`` to bound read amplification.
+
+    ``key_bloom=True`` records per-file key Blooms on every commit
+    this batch makes (base rewrites AND delta files) — the point-lookup
+    serving path (``lake.read(keys=["conv_..."])`` — "fetch this
+    conversation") then skips files the Bloom proves clean. Opt-in:
+    building a Bloom reads the fresh file's key column once, a tax the
+    sub-second raw-delta tail should not pay unless lookups matter.
 
     ``merge_strategy``: "window" (single-sort resolution, the ~1
     event/key CDC norm), "agg" (hash-agg with map-side combine, 1.9x on
@@ -615,6 +623,7 @@ def apply_batch(
             lineage_fn=_lineage,
             shard_mod=shard_k if shard_k > 1 else None,
             compression="zstd",
+            key_bloom=key_bloom,
         )
         return {"applied": ok, **out}
 
@@ -676,6 +685,7 @@ def apply_batch(
             metrics={"merge_mode": "read"},
             mode="delta",
             lineage_fn=_lineage,
+            key_bloom=key_bloom,
         )
         return {"applied": ok, **out}
 
@@ -733,6 +743,7 @@ def apply_batch(
             # stored state resolved at snap: shard generations at or
             # below it are folded into this rewrite
             delta_floor=snap["version"],
+            key_bloom=key_bloom,
         )
         return {
             "applied": ok, "buckets": affected,
@@ -864,6 +875,7 @@ def apply_batch(
             # disjoint-bucket writers rebase cleanly
             base_version=snap["version"],
             delta_floor=snap["version"],
+            key_bloom=key_bloom,
         )
         return {
             "applied": ok,
@@ -882,6 +894,7 @@ def bootstrap(
     base: DataFrame,
     base_lsn: int = 0,
     batch_id: str = "bootstrap",
+    key_bloom: bool = False,
 ) -> dict[str, Any]:
     """Load an initial snapshot of the transcripts table as lake state
     (the 'existing table + incremental tail' pattern every real CDC
@@ -906,6 +919,7 @@ def bootstrap(
         batch_id,
         lsn_range=(0, base_lsn),
         metrics={"bootstrap": True},
+        key_bloom=key_bloom,
     )
     return {"applied": ok, "hwm": lake.hwm}
 

@@ -1377,3 +1377,50 @@ def test_point_lookup_bucket_derivation_single_key_col(spark, tmp_path):
     want_b = df.filter(F.col("k") == "k007").select(BUCKET_COL).first()[0]
     files = one.inputFiles()
     assert files and all(f"{BUCKET_COL}={want_b}/" in f for f in files)
+
+
+def test_point_lookup_through_cdc_replay_with_blooms(spark, tmp_lake_dir):
+    """apply_batch(key_bloom=True) records Blooms on merge commits in
+    BOTH modes; the conversation-serving query (read(keys=[conv])) then
+    prunes delta files too and stays exact through LWW resolution."""
+    import datetime
+
+    from etl_bitcoin_spark.operators.merge import apply_batch
+
+    lake = LakeTable.create(spark, tmp_lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 2)
+    ddl = (
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp"
+    )
+
+    def ev(lsn, op, conv, turn, text):
+        return (lsn, op, conv, turn, "user", text, None,
+                datetime.datetime(2024, 1, 1, 0, 0, lsn % 60))
+
+    # merge-on-write batch, then a merge-on-read delta batch (summary
+    # plan -> per-bucket delta files, blooms recorded on those too)
+    b1 = [ev(i, "I", f"c{i % 8}", i // 8, f"t{i}") for i in range(32)]
+    r = apply_batch(
+        lake, spark.createDataFrame(b1, ddl), "b1", key_bloom=True
+    )
+    assert r["applied"]
+    b2 = [ev(100, "U", "c3", 0, "patched"), ev(101, "I", "c9", 0, "new")]
+    r = apply_batch(
+        lake, spark.createDataFrame(b2, ddl), "b2",
+        merge_mode="read", key_bloom=True,
+    )
+    assert r["applied"]
+    ent = lake.bucket_entries()
+    # every base AND delta file carries a bloomed key_stats entry
+    for e in ent.values():
+        for f in e["files"] + e["deltas"]:
+            st = e["key_stats"][f]
+            assert len(st) == 3 and st[2], (f, st)
+
+    got = lake.read(user_cols=True, keys=["c3"]).collect()
+    assert sorted((r.turn_idx, r.text) for r in got) == [
+        (0, "patched"), (1, "t11"), (2, "t19"), (3, "t27"),
+    ]
+    # the c9-only delta bucket's files prune out of a c-absent lookup
+    miss = lake.read(user_cols=True, keys=["zzz_absent"])
+    assert miss.count() == 0 and len(miss.inputFiles()) == 0
