@@ -60,6 +60,7 @@ class BinlogTailer:
         compact_max_buckets: int | None = None,
         views: list | None = None,
         delta_plan: str = "auto",
+        key_bloom: bool = False,
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -67,6 +68,10 @@ class BinlogTailer:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.use_bloom = use_bloom
+        # opt-in per-file key Blooms on every commit the tail makes:
+        # serves read(keys=[conv_id]) point lookups (lake.py), at the
+        # cost of one key-column read per fresh file in the hot path
+        self.key_bloom = key_bloom
         # Bulk-drain knob: when each micro-batch is large enough to touch
         # ~every bucket (backfill drains, high files/trigger), skip the
         # bucket-discovery pass; selective tails keep pruning (default).
@@ -219,7 +224,8 @@ class BinlogTailer:
 
                 try:
                     self.lake.compact_deltas(
-                        self.compact_max_deltas, batch_id=None
+                        self.compact_max_deltas, batch_id=None,
+                        key_bloom=self.key_bloom,
                     )
                 except CommitConflict:
                     pass
@@ -268,6 +274,7 @@ class BinlogTailer:
                         if (self.merge_on_read and self._raw_ok)
                         else "summary"
                     ),
+                    key_bloom=self.key_bloom,
                 )
                 break
             except CommitConflict:
@@ -356,6 +363,7 @@ class BinlogTailer:
                 return self.lake.compact_deltas(
                     self.compact_max_deltas, batch_id=batch_id,
                     max_buckets=self.compact_max_buckets,
+                    key_bloom=self.key_bloom,
                 )
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)

@@ -1146,6 +1146,13 @@ class LakeTable:
         replace content is a fully-RESOLVED read at that version —
         raw base rewrites (compact_files) carry the old floor forward.
 
+        ``key_bloom=True`` records a per-file Bloom over each staged
+        file's distinct FIRST-key values (riding as key_stats' third
+        element — see _bloom_build) AND embeds a parquet-native bloom
+        on the key column for reader-side row-group skipping. Serves
+        ``read(keys=[...])`` point lookups; opt-in because building the
+        manifest Bloom reads each fresh file's key column once.
+
         **Multi-writer protocol** (Iceberg-style optimistic): data files
         stage once; the manifest publish is a CAS on the version number.
         Losing the race triggers a REBASE. Append/delta commits ALWAYS
@@ -1211,6 +1218,22 @@ class LakeTable:
                 part_col, F.expr(f"cast({BUCKET_COL} % {shard_mod} as int)")
             ).drop(BUCKET_COL)
         writer = new_content.write.mode("overwrite").partitionBy(part_col)
+        if key_bloom:
+            # also embed a PARQUET-NATIVE bloom on the key column: files
+            # the manifest-level Bloom keeps still skip ROW GROUPS when
+            # the reader pushes the keys' In/EqualTo predicate down
+            # (read(keys=...) always does). Adaptive sizing + a byte cap
+            # matter: without them parquet-mr writes its 1 MiB maximum
+            # per column chunk (measured: 1000 rows -> 1.06 MB file).
+            writer = (
+                writer
+                .option(
+                    f"parquet.bloom.filter.enabled#{prev['key_cols'][0]}",
+                    "true",
+                )
+                .option("parquet.bloom.filter.adaptive.enabled", "true")
+                .option("parquet.bloom.filter.max.bytes", "131072")
+            )
         if compression is not None:
             # per-commit codec override (e.g. zstd for transient raw
             # deltas: ~25% less encode wall AND ~35% fewer bytes than
@@ -2269,6 +2292,7 @@ class LakeTable:
         max_deltas_per_bucket: int = 8,
         batch_id: str | None = None,
         max_buckets: int | None = None,
+        key_bloom: bool = False,
     ) -> dict[str, Any]:
         """Fold merge-on-read delta files back into the base for every
         bucket whose delta count exceeds the policy — bounding read
@@ -2343,6 +2367,7 @@ class LakeTable:
             # advance the victims' shard-delta floor so folded
             # generations stop re-applying (and prune once global)
             delta_floor=m["version"],
+            key_bloom=key_bloom,
         )
         return {"buckets_compacted": len(victims) if ok else 0, "applied": ok}
 

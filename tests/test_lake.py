@@ -1424,3 +1424,17 @@ def test_point_lookup_through_cdc_replay_with_blooms(spark, tmp_lake_dir):
     # the c9-only delta bucket's files prune out of a c-absent lookup
     miss = lake.read(user_cols=True, keys=["zzz_absent"])
     assert miss.count() == 0 and len(miss.inputFiles()) == 0
+
+    # compaction keeps the table lookup-optimized: folded base files
+    # carry fresh blooms when asked to, and the lookup stays exact
+    r = lake.compact_deltas(max_deltas_per_bucket=0, key_bloom=True)
+    assert r["applied"]
+    ent = lake.bucket_entries()
+    assert all(not e["deltas"] for e in ent.values())
+    for e in ent.values():
+        for f in e["files"]:
+            assert len(e["key_stats"][f]) == 3, e["key_stats"][f]
+    got = lake.read(user_cols=True, keys=["c3"]).collect()
+    assert sorted((r.turn_idx, r.text) for r in got) == [
+        (0, "patched"), (1, "t11"), (2, "t19"), (3, "t27"),
+    ]
