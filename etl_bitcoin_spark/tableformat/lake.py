@@ -253,11 +253,15 @@ def _footer_key_stats(md, key_col: str) -> list[str] | None:
 # copies it opaquely. Mirrors the reference's batched point lookups
 # (rpcclient.go:31-101) with an Iceberg-style manifest fast path.
 def _bloom_build(values):
-    """base64 Bloom over the distinct string values of one file's first
-    key column; None when the file holds too many distinct keys for the
-    64 Kbit size cap to be useful (<~2.5 bits/key -> FPP near 1, dead
-    weight in the manifest). crc32 double hashing with 7 probes (~0.9%
-    FPP at 10 bits/key): stable across processes and Python versions.
+    """base64 Bloom (1-byte format version + bit array) over the
+    distinct string values of one file's first key column; None when
+    the file holds too many distinct keys for the 64 Kbit size cap to
+    be useful (<~2.5 bits/key -> FPP near 1, dead weight in the
+    manifest). blake2b double hashing with 7 probes (~0.9% FPP at 10
+    bits/key): stable across processes and Python versions, and —
+    unlike crc32, whose XOR-linearity correlates probes on structured
+    keys (measured 11% FPP where theory says 0.9% on conv_%08d ids) —
+    statistically independent per key.
 
     SELF-CONTAINED BY CONTRACT (stdlib imports inside, constants
     inlined, no module globals): the distributed footer job ships this
@@ -266,7 +270,7 @@ def _bloom_build(values):
     one — a drifted builder would produce false negatives, i.e. files
     wrongly skipped on point lookups."""
     import base64
-    import zlib
+    import hashlib
 
     vals = {v for v in values if isinstance(v, str)}
     if not vals or len(vals) * 10 > (1 << 16) * 4:
@@ -274,14 +278,15 @@ def _bloom_build(values):
     bits = 256
     while bits < len(vals) * 10 and bits < (1 << 16):
         bits <<= 1
-    arr = bytearray(bits // 8)
+    arr = bytearray(1 + bits // 8)
+    arr[0] = 1  # format version
     for v in vals:
-        b = v.encode("utf-8")
-        h1 = zlib.crc32(b)
-        h2 = zlib.crc32(b, 0x9E3779B9) | 1
+        d = hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest()
+        h1 = int.from_bytes(d[:4], "little")
+        h2 = int.from_bytes(d[4:], "little") | 1
         for i in range(7):
             idx = (h1 + i * h2) % bits
-            arr[idx >> 3] |= 1 << (idx & 7)
+            arr[1 + (idx >> 3)] |= 1 << (idx & 7)
     return base64.b64encode(bytes(arr)).decode("ascii")
 
 
@@ -289,15 +294,19 @@ def _bloom_miss(b64: str, value: str) -> bool:
     """True iff the Bloom PROVES ``value`` is absent from the file
     (false positives keep extra files — never correctness; false
     negatives are impossible by construction). Probe sequence must
-    mirror _bloom_build bit-for-bit."""
+    mirror _bloom_build bit-for-bit; an unrecognized format version
+    disables skipping for the file (forward-compat, never wrong)."""
     import base64
-    import zlib
+    import hashlib
 
-    arr = base64.b64decode(b64)
+    raw = base64.b64decode(b64)
+    if not raw or raw[0] != 1:
+        return False  # unknown format: prove nothing
+    arr = raw[1:]
     bits = len(arr) * 8
-    b = value.encode("utf-8")
-    h1 = zlib.crc32(b)
-    h2 = zlib.crc32(b, 0x9E3779B9) | 1
+    d = hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest()
+    h1 = int.from_bytes(d[:4], "little")
+    h2 = int.from_bytes(d[4:], "little") | 1
     for i in range(7):
         idx = (h1 + i * h2) % bits
         if not (arr[idx >> 3] & (1 << (idx & 7))):
