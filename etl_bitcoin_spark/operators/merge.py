@@ -40,7 +40,13 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tableformat.lake import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable
+from ..tableformat.lake import (
+    BUCKET_COL,
+    DELETED_COL,
+    LSN_COL,
+    LakeTable,
+    patch_meta,
+)
 
 KEY_COLS = ["conv_id", "turn_idx"]
 TRANSCRIPTS_DDL = (
@@ -121,6 +127,7 @@ def _resolve_union(
     n_buckets: int | None,
     key_cols: list[str] | None = None,
     lsn_stats=None,
+    patch_cols: list[str] | None = None,
 ) -> DataFrame:
     """Tombstone-aware LWW resolution over a union of candidate rows
     (stored winners, stored tombstones, change events, merge-on-read
@@ -128,7 +135,23 @@ def _resolve_union(
     LWW(ts, lsn) among non-deleted rows with lsn > last_d; emit winner +
     one tombstone row. One key-partitioned window pass — a single
     shuffle. ``key_cols`` defaults to the transcripts key; tables
-    without a ``ts`` column fall back to lsn-only LWW ordering."""
+    without a ``ts`` column fall back to lsn-only LWW ordering.
+
+    ``patch_cols`` adds CELL-level LWW (partial-image upserts): each
+    listed column resolves independently to the value of its most
+    recent explicit write — ``max(struct(ts, lsn, value))`` over cells
+    written after the key's last delete. The fold is an unordered
+    whole-partition aggregate on the SAME window partitioning (no extra
+    shuffle, no extra sort), and — unlike a first-non-null scan in
+    fold order — it is associative and commutative, so folding a batch
+    into a summary delta and folding summaries into the base gives the
+    SAME state as one full-history fold, under ANY batch interleaving
+    (late ts, interleaved multi-writer lsns included). Cells written at
+    or before the key's last tombstone never resurrect (the delete
+    boundary applies per cell exactly as it does per row). Rows lacking
+    provenance columns (pre-patch files, bootstrap snapshots) fall back
+    to row-level provenance: a non-null value counts as written at the
+    row's own (ts, lsn); a null value is absent."""
     keys = key_cols or KEY_COLS
     if n_buckets is not None:
         # Co-partition with the bucket layout: Spark's hash partitioner
@@ -194,26 +217,82 @@ def _resolve_union(
     live = ~F.col(DELETED_COL) & (
         F.col(LSN_COL) > F.coalesce(F.col("__t"), F.lit(-1))
     )
+    cells: list[tuple[str, str, str, str]] = []
+    for c in patch_cols or []:
+        pts, plsn = patch_meta(c)
+        # explicit cell provenance, else (pre-patch rows) the row's own
+        # position when the value is present; D rows carry no cells
+        row_ts = (
+            F.col("ts") if "ts" in unioned.columns
+            else F.lit(None).cast("timestamp")
+        )
+        eff_t = F.coalesce(
+            F.col(pts), F.when(F.col(c).isNotNull(), row_ts)
+        )
+        eff_l = F.coalesce(
+            F.col(plsn), F.when(F.col(c).isNotNull(), F.col(LSN_COL))
+        )
+        cell_live = ~F.col(DELETED_COL) & (
+            eff_l > F.coalesce(F.col("__t"), F.lit(-1))
+        )
+        name = f"__cell_{c}"
+        df = df.withColumn(
+            name,
+            F.max(F.when(cell_live, F.struct(
+                eff_t.alias("t"), eff_l.alias("l"), F.col(c).alias("v")
+            ))).over(w),
+        )
+        cells.append((c, pts, plsn, name))
     # first live row in (ts desc, lsn desc) order == the LWW winner
     df = df.withColumn("__rw", F.min(F.when(live, F.col("__rn"))).over(w))
     is_tomb = F.col(DELETED_COL) & (F.col(LSN_COL) == F.col("__t"))
     df = df.withColumn("__rt", F.min(F.when(is_tomb, F.col("__rn"))).over(w))
     keep_winner = live & (F.col("__rn") == F.col("__rw"))
     keep_tomb = is_tomb & (F.col("__rn") == F.col("__rt"))
-    return df.filter(keep_winner | keep_tomb).drop(
-        "__rn", "__t", "__rw", "__rt"
+    out = df.filter(keep_winner | keep_tomb)
+    for c, pts, plsn, name in cells:
+        # the emitted winner row is the FOLDED image: every patch cell
+        # takes its per-column winner (value + provenance); tombstone
+        # rows carry no cells
+        alive = ~F.col(DELETED_COL)
+        out = (
+            out.withColumn(c, F.when(alive, F.col(name)["v"]))
+            .withColumn(pts, F.when(alive, F.col(name)["t"]))
+            .withColumn(plsn, F.when(alive, F.col(name)["l"]))
+        )
+    return out.drop(
+        "__rn", "__t", "__rw", "__rt", *[n for *_, n in cells]
     )
 
 
-def events_as_rows(events: DataFrame) -> DataFrame:
+def events_as_rows(
+    events: DataFrame, patch_cols: list[str] | None = None
+) -> DataFrame:
     """Project change events into stored-row form (key, values, __lsn,
-    __deleted): D events become tombstone rows, I/U keep their values."""
-    return events.select(
+    __deleted): D events become tombstone rows, I/U keep their values.
+
+    ``patch_cols`` enables PARTIAL-IMAGE semantics (Debezium-style
+    updates that carry only changed columns): an ``op='U'`` event with a
+    NULL patch column writes NOTHING to that cell (null = absent), while
+    an ``op='I'`` full image writes EVERY patch column — including
+    explicit nulls. The distinction is materialized as per-cell
+    provenance (``__pts_c``/``__plsn_c`` non-null == an explicit write
+    at that (ts, lsn)); absent cells carry null provenance and are
+    invisible to the cell-LWW fold in ``_resolve_union``."""
+    cols = [
         *KEY_COLS,
         *VALUE_COLS,
         F.col("lsn").alias(LSN_COL),
         (F.col("op") == F.lit("D")).alias(DELETED_COL),
-    )
+    ]
+    for c in patch_cols or []:
+        pts, plsn = patch_meta(c)
+        written = (F.col("op") == F.lit("I")) | (
+            (F.col("op") == F.lit("U")) & F.col(c).isNotNull()
+        )
+        cols.append(F.when(written, F.col("ts")).alias(pts))
+        cols.append(F.when(written, F.col("lsn")).alias(plsn))
+    return events.select(*cols)
 
 
 def merge_batch_direct(
@@ -221,6 +300,7 @@ def merge_batch_direct(
     events: DataFrame,
     n_buckets: int | None = None,
     lsn_stats=None,
+    patch_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fused merge: stored rows participate directly as pseudo-events
     (tombstones as D, winners as U with their original lsn), so the
@@ -229,13 +309,17 @@ def merge_batch_direct(
     merge_summary_into, minus a stage barrier and a second pass of the
     batch through the exchange. With ``lsn_stats`` the batch's lsn stats
     ride the merge job (events tagged, stored rows excluded)."""
-    st_rows = stored.select(*KEY_COLS, *VALUE_COLS, LSN_COL, DELETED_COL)
-    ev_rows = events_as_rows(events)
+    prov = [p for c in patch_cols or [] for p in patch_meta(c)]
+    st_rows = stored.select(
+        *KEY_COLS, *VALUE_COLS, *prov, LSN_COL, DELETED_COL
+    )
+    ev_rows = events_as_rows(events, patch_cols)
     if lsn_stats is not None:
         st_rows = st_rows.withColumn("__evt", F.lit(False))
         ev_rows = ev_rows.withColumn("__evt", F.lit(True))
     return _resolve_union(
-        st_rows.unionByName(ev_rows), n_buckets, lsn_stats=lsn_stats
+        st_rows.unionByName(ev_rows), n_buckets, lsn_stats=lsn_stats,
+        patch_cols=patch_cols,
     )
 
 
@@ -446,6 +530,7 @@ def apply_batch(
     merge_strategy: str = "window",
     delta_plan: str = "summary",
     key_bloom: bool = False,
+    ref: str = "main",
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the lake table.
 
@@ -508,11 +593,17 @@ def apply_batch(
     """
     if delta_plan not in ("summary", "raw"):
         raise ValueError(f"unknown delta_plan {delta_plan!r}")
-    snap = lake.snapshot()
+    snap = lake.snapshot(ref=ref)
     if lake._batch_applied(snap, batch_id):
         return {"applied": False, "reason": "duplicate batch_id"}
     n_buckets = snap["n_buckets"]
     hwm = snap["lineage"]["hwm"]
+    patch_cols = snap.get("patch_cols") or None
+    if patch_cols and merge_strategy != "window":
+        # cell-level LWW resolves through the window formulation only:
+        # the agg strategy's single max_by(payload) picks one ROW per
+        # key, which would discard sibling rows' cell writes
+        merge_strategy = "window"
 
     ev = reconcile_schema(events, BINLOG_DDL)
     if already_applied_filter is not None:
@@ -549,7 +640,7 @@ def apply_batch(
         )
         obs = Observation()
         content = (
-            events_as_rows(ev)
+            events_as_rows(ev, patch_cols)
             .withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
             .observe(
                 obs,
@@ -624,6 +715,7 @@ def apply_batch(
             shard_mod=shard_k if shard_k > 1 else None,
             compression="zstd",
             key_bloom=key_bloom,
+            ref=ref,
         )
         return {"applied": ok, **out}
 
@@ -656,7 +748,8 @@ def apply_batch(
         )
         npart = p_conf if aligned else n_buckets
         content = _resolve_union(
-            events_as_rows(ev), npart, lsn_stats=obs
+            events_as_rows(ev, patch_cols), npart, lsn_stats=obs,
+            patch_cols=patch_cols,
         ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
         out: dict[str, Any] = {}
 
@@ -686,6 +779,7 @@ def apply_batch(
             mode="delta",
             lineage_fn=_lineage,
             key_bloom=key_bloom,
+            ref=ref,
         )
         return {"applied": ok, **out}
 
@@ -714,7 +808,7 @@ def apply_batch(
         affected = list(range(n_buckets))
         stored = lake.read(version=snap["version"], buckets=affected)
         merged = merge_batch_direct(
-            stored, ev, n_buckets, lsn_stats=obs
+            stored, ev, n_buckets, lsn_stats=obs, patch_cols=patch_cols
         ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
         out: dict[str, Any] = {}
 
@@ -744,6 +838,7 @@ def apply_batch(
             # below it are folded into this rewrite
             delta_floor=snap["version"],
             key_bloom=key_bloom,
+            ref=ref,
         )
         return {
             "applied": ok, "buckets": affected,
@@ -800,7 +895,7 @@ def apply_batch(
                 lake.commit(
                     lake.read(buckets=[]).limit(0).withColumn(
                         BUCKET_COL, F.lit(0).cast("int")),
-                    [], batch_id, None, {"events": 0},
+                    [], batch_id, None, {"events": 0}, ref=ref,
                 )
                 return {"applied": True, "events": 0}
 
@@ -855,11 +950,13 @@ def apply_batch(
             # no pre-job ran on this path (assume_all_buckets + hint):
             # no free signal, default to the window formulation
             merge_strategy = "window"
-        merge_fn = (
-            merge_batch_direct if merge_strategy == "window"
-            else merge_batch_agg
-        )
-        merged = merge_fn(stored, ev, n_buckets).withColumn(
+        if merge_strategy == "window":
+            merged = merge_batch_direct(
+                stored, ev, n_buckets, patch_cols=patch_cols
+            )
+        else:
+            merged = merge_batch_agg(stored, ev, n_buckets)
+        merged = merged.withColumn(
             BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS)
         )
         ok = lake.commit(
@@ -876,6 +973,7 @@ def apply_batch(
             base_version=snap["version"],
             delta_floor=snap["version"],
             key_bloom=key_bloom,
+            ref=ref,
         )
         return {
             "applied": ok,
@@ -910,6 +1008,21 @@ def bootstrap(
         reconcile_schema(base, snap["schema_ddl"])
         .withColumn(LSN_COL, F.lit(base_lsn).cast("long"))
         .withColumn(DELETED_COL, F.lit(False))
+    )
+    for c in snap.get("patch_cols") or []:
+        # snapshot rows are FULL images: every patch cell (nulls
+        # included) is an explicit write at the row's (ts, base_lsn),
+        # so a late partial image with an older ts cannot override it
+        pts, plsn = patch_meta(c)
+        row_ts = (
+            F.col("ts") if "ts" in content.columns
+            else F.lit(None).cast("timestamp")
+        )
+        content = content.withColumn(pts, row_ts).withColumn(
+            plsn, F.lit(base_lsn).cast("long")
+        )
+    content = (
+        content
         .withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
         .repartition(n_buckets, *KEY_COLS)
     )

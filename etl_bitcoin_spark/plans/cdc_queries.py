@@ -252,14 +252,85 @@ def q_cdc_lineage_metrics(spark, sf_dir):
     )
 
 
+def patched_binlog(spark, sf_dir):
+    """The derived binlog reinterpreted as PARTIAL images (Debezium-
+    style): U events drop ``role`` when lsn%2==0 and ``tool`` when
+    lsn%3==0 (null = column absent from the image); I events stay full
+    images (their nulls are explicit writes); ``text``/``ts`` always
+    ship. Deterministic, mirrored verbatim in the DuckDB oracle."""
+    b = derived_binlog(spark, sf_dir)
+    u = F.col("op") == F.lit("U")
+    return b.withColumn(
+        "role",
+        F.when(u & (F.col("lsn") % 2 == 0), F.lit(None).cast("string"))
+        .otherwise(F.col("role")),
+    ).withColumn(
+        "tool",
+        F.when(u & (F.col("lsn") % 3 == 0), F.lit(None).cast("string"))
+        .otherwise(F.col("tool")),
+    )
+
+
 def q_cdc_delete_reinsert(spark, sf_dir):
-    """Keys deleted then re-inserted: the resurrection set (win_lsn above
-    the key's last delete)."""
+    """COMPOSITE gate (SURVEY §8): row-level delete/reinsert interplay
+    PLUS cell-level LWW (partial-image patch upserts) — tagged union.
+
+    (a) 'resurrect': keys deleted then re-inserted (win_lsn above the
+    key's last delete) — the original slot.
+    (b) 'patch_state': the binlog reinterpreted as partial images
+    (``patched_binlog``) replays through a REAL LakeTable created with
+    ``patch_cols=['role','text','tool']`` as 4 mixed merge-on-read
+    batches (0-1 raw mod-shard deltas, 2-3 summary deltas) with a
+    mid-stream partial compaction; the resolved read's cells must equal
+    the oracle's per-column most-recent-explicit-write fold, which never
+    reaches back across a delete. Exercises the associativity claim end
+    to end: raw rows, batch-folded summaries, and compacted base all
+    carry cell provenance and must fold to the full-history answer."""
     b = derived_binlog(spark, sf_dir)
     s = lww_batch_summary(b)
-    return s.filter(
+    resurrect = s.filter(
         F.col("d_lsn").isNotNull() & F.col("win_lsn").isNotNull()
-    ).select("conv_id", "turn_idx", "d_lsn", "win_lsn")
+    ).select(
+        F.lit("resurrect").alias("tag"),
+        "conv_id",
+        "turn_idx",
+        "win_lsn",
+        "d_lsn",
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("string").alias("ts_str"),
+    )
+
+    from ..tableformat.lake import DELETED_COL, LSN_COL
+
+    def _mid_compact(i, lake):
+        if i == 1:
+            lake.compact_deltas(max_deltas_per_bucket=1, batch_id="p-c1")
+
+    lake, _, results = _replay_lake_mow(
+        spark, sf_dir, "gate_patch_", merge_mode="read",
+        on_batch=_mid_compact, n_buckets=64,
+        delta_plan_fn=lambda i: "raw" if i < 2 else "summary",
+        binlog=patched_binlog(spark, sf_dir),
+        create_kwargs={"patch_cols": ["role", "text", "tool"]},
+    )
+    assert [r.get("delta_plan") for r in results[:2]] == ["raw", "raw"], (
+        results
+    )
+    st = lake.read()
+    patch_state = st.filter(~F.col(DELETED_COL)).select(
+        F.lit("patch_state").alias("tag"),
+        "conv_id",
+        "turn_idx",
+        F.col(LSN_COL).alias("win_lsn"),
+        F.lit(None).cast("long").alias("d_lsn"),
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+    return resurrect.unionByName(patch_state)
 
 
 def q_cdc_salted_distribution(spark, sf_dir):
@@ -358,7 +429,8 @@ def _gate_tmpdir(prefix):
 
 
 def _replay_lake_mow(spark, sf_dir, tmp_prefix, merge_mode="write",
-                     on_batch=None, n_buckets=8, delta_plan_fn=None):
+                     on_batch=None, n_buckets=8, delta_plan_fn=None,
+                     binlog=None, create_kwargs=None):
     """Replay the derived binlog into a fresh LakeTable as 4 ordered
     equal-width micro-batches — THE replay every lake gate shares, so
     its width arithmetic stays bit-identical to ``_CUT_SQL``. Returns
@@ -373,10 +445,13 @@ def _replay_lake_mow(spark, sf_dir, tmp_prefix, merge_mode="write",
     from ..operators.merge import KEY_COLS, TRANSCRIPTS_DDL, apply_batch
     from ..tableformat.lake import LakeTable
 
-    b = derived_binlog(spark, sf_dir)
+    b = binlog if binlog is not None else derived_binlog(spark, sf_dir)
     lo, hi = b.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     root = _gate_tmpdir(tmp_prefix)
-    lake = LakeTable.create(spark, root, TRANSCRIPTS_DDL, KEY_COLS, n_buckets)
+    lake = LakeTable.create(
+        spark, root, TRANSCRIPTS_DDL, KEY_COLS, n_buckets,
+        **(create_kwargs or {}),
+    )
     width = (int(hi) - int(lo) + 4) // 4
     v_mid = None
     results = []
@@ -730,6 +805,14 @@ SELECT (lsn >= 5000) AS evolved, count(*) AS n,
          AS n_tool_null
 FROM merged GROUP BY 1
 """,
+    # composite: 'resurrect' rows (row-level delete/reinsert) + cell-
+    # level LWW 'patch_state' rows. The patch fold per column: among
+    # rows where the cell was EXPLICITLY written (full image op='I', or
+    # a partial image that carries the column non-null) and that land
+    # after the key's last delete, take the (ts, lsn)-max write — its
+    # value may be an explicit null (an I wrote null). first_value
+    # ordered by (written DESC, ts DESC, lsn DESC) is exactly that, and
+    # yields null when no explicit write survives the delete.
     "cdc_delete_reinsert": f"""
 WITH binlog AS ({_BINLOG_SQL}),
 last_d AS (
@@ -745,8 +828,54 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
   FROM live
+),
+resurrect AS (
+  SELECT 'resurrect' AS tag, conv_id, turn_idx, lsn AS win_lsn, d_lsn,
+         CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text,
+         CAST(NULL AS VARCHAR) AS tool, CAST(NULL AS VARCHAR) AS ts_str
+  FROM ranked WHERE rn = 1
+),
+pb AS (
+  SELECT lsn, op, conv_id, turn_idx,
+         CASE WHEN op = 'U' AND lsn % 2 = 0 THEN NULL ELSE role END AS role,
+         text,
+         CASE WHEN op = 'U' AND lsn % 3 = 0 THEN NULL ELSE tool END AS tool,
+         ts
+  FROM binlog
+),
+pd AS (
+  SELECT conv_id, turn_idx,
+         coalesce(max(CASE WHEN op = 'D' THEN lsn END), -1) AS d
+  FROM pb GROUP BY conv_id, turn_idx
+),
+plive AS (
+  SELECT e.* FROM pb e
+  JOIN pd ON e.conv_id = pd.conv_id AND e.turn_idx = pd.turn_idx
+  WHERE e.op <> 'D' AND e.lsn > pd.d
+),
+cells AS (
+  SELECT conv_id, turn_idx, lsn, ts,
+    row_number() OVER (PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, lsn DESC) AS rn,
+    first_value(role) OVER (PARTITION BY conv_id, turn_idx
+      ORDER BY (CASE WHEN op = 'I' OR role IS NOT NULL THEN 1 ELSE 0 END)
+        DESC, ts DESC, lsn DESC) AS role_f,
+    first_value(text) OVER (PARTITION BY conv_id, turn_idx
+      ORDER BY (CASE WHEN op = 'I' OR text IS NOT NULL THEN 1 ELSE 0 END)
+        DESC, ts DESC, lsn DESC) AS text_f,
+    first_value(tool) OVER (PARTITION BY conv_id, turn_idx
+      ORDER BY (CASE WHEN op = 'I' OR tool IS NOT NULL THEN 1 ELSE 0 END)
+        DESC, ts DESC, lsn DESC) AS tool_f
+  FROM plive
+),
+patch_state AS (
+  SELECT 'patch_state' AS tag, conv_id, turn_idx, lsn AS win_lsn,
+         CAST(NULL AS BIGINT) AS d_lsn, role_f AS role, text_f AS text,
+         tool_f AS tool,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+  FROM cells WHERE rn = 1
 )
-SELECT conv_id, turn_idx, d_lsn, lsn AS win_lsn FROM ranked WHERE rn = 1
+SELECT * FROM resurrect UNION ALL SELECT * FROM patch_state
 """,
     "cdc_salted_distribution": f"""
 SELECT conv_id, CAST(lsn % 8 AS INT) AS salt, count(*) AS n

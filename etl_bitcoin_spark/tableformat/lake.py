@@ -154,6 +154,30 @@ def ddl_col_names(ddl: str) -> list[str]:
     return [p.split(" ", 1)[0].strip() for p in ddl_split(ddl)]
 
 
+def patch_meta(c: str) -> tuple[str, str]:
+    """Per-cell provenance column names for a patch column ``c``: the
+    (ts, lsn) at which the cell's current value was explicitly written.
+    Non-null provenance == an explicit write (possibly of NULL, from a
+    full image); null provenance == the cell was never written /
+    absent from a partial image. operators/merge imports THIS so the
+    write path and the scan schema below can never drift."""
+    return f"__pts_{c}", f"__plsn_{c}"
+
+
+def stored_schema_ddl(m: dict) -> str:
+    """Explicit scan schema for a snapshot's stored files: user schema
+    + per-cell provenance (patched tables) + engine columns. Files
+    predating an additive evolution (or a provenance-less bootstrap)
+    backfill the missing columns as null."""
+    prov = "".join(
+        ", {} timestamp, {} long".format(*patch_meta(c))
+        for c in m.get("patch_cols") or []
+    )
+    return (
+        f"{m['schema_ddl']}{prov}, {LSN_COL} long, {DELETED_COL} boolean"
+    )
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -335,13 +359,24 @@ class LakeTable:
         key_cols: list[str],
         n_buckets: int = 16,
         stats_col: str | None = None,
+        patch_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``stats_col`` declares a SECOND clustering/skipping dimension
         (a numeric column, e.g. a ``ts``): every commit records per-file
         [min,max] for it alongside the first-key stats, compaction sorts
         by (key, stats_col), and ``read(secondary_range=...)`` prunes
         files by it — the 2-D answer to "key skipping covers only the
-        first key column" (a 1-D OPTIMIZE-ZORDER step)."""
+        first key column" (a 1-D OPTIMIZE-ZORDER step).
+
+        ``patch_cols`` declares PARTIAL-IMAGE (cell-level LWW) columns:
+        an update event with a NULL patch column leaves that cell
+        unchanged (Debezium partial images / Cassandra cell timestamps);
+        a full-image insert writes every cell, explicit nulls included.
+        Stored rows carry per-cell provenance (``__pts_c``/``__plsn_c``)
+        so merge-on-read deltas, compaction, and late/interleaved
+        batches all fold to the same state as one full-history replay
+        (the fold is an associative per-cell max — see
+        operators/merge._resolve_union). Fixed at create()."""
         t = cls(spark, root)
         os.makedirs(os.path.join(t.manifest_dir, "gm"), exist_ok=True)
         os.makedirs(os.path.join(t.manifest_dir, "bm"), exist_ok=True)
@@ -372,6 +407,24 @@ class LakeTable:
                     f"(got {ty!r}): per-file [min,max] ranges are "
                     "recorded as integers via floor/ceil"
                 )
+        if patch_cols:
+            cols = ddl_col_names(schema_ddl)
+            for c in patch_cols:
+                if c not in cols:
+                    raise ValueError(
+                        f"patch_col {c!r} is not a schema column"
+                    )
+                if c in key_cols:
+                    raise ValueError(
+                        f"patch_col {c!r} is a key column — keys "
+                        "identify the row, they cannot be patched"
+                    )
+                if c == "ts":
+                    raise ValueError(
+                        "patch_col 'ts' is the LWW ordering column; "
+                        "it is written by every event and cannot be "
+                        "partial"
+                    )
         manifest = {
             "version": 1,
             "parent": None,
@@ -380,6 +433,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "group_size": min(GROUP_SIZE, n_buckets),
             "stats_col": stats_col,
+            "patch_cols": list(patch_cols) if patch_cols else None,
             "batch_id": None,
             "applied_batch_ids": [],
             "committed_at": time.time(),
@@ -451,11 +505,23 @@ class LakeTable:
             v += 1
         return v
 
-    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+    def snapshot(
+        self, version: int | None = None, ref: str | None = None
+    ) -> dict[str, Any]:
         """Load a snapshot root. Returned dicts are cached and shared —
-        treat them as immutable (copy before mutating)."""
+        treat them as immutable (copy before mutating). ``ref`` resolves
+        a branch head (None/"main" = main; on un-branched tables main
+        is the contiguous-version walk, on branched tables the explicit
+        head chain)."""
         if version is None:
-            version = self._latest_version()
+            if ref is not None and ref != "main":
+                v = self._head_version(ref)
+                if v is None:
+                    raise ValueError(f"no branch {ref!r}")
+                version = v
+            else:
+                v = self._head_version("main")
+                version = v if v is not None else self._latest_version()
         return _load_json_cached(
             os.path.join(self.manifest_dir, self._vname(version))
         )
@@ -522,6 +588,203 @@ class LakeTable:
             if n.startswith("v") and n.endswith(".json"):
                 out.append(int(n[1:-5]))
         return sorted(out)
+
+    # --------------------------------------------------------- branches
+    # Write-audit-publish (Iceberg branch/WAP analog). A branch is a
+    # named HEAD over the same global version space: branch commits
+    # claim ordinary v{N}.json files (the os.link CAS keeps numbers
+    # unique across refs), so snapshots, manifests, data files, time
+    # travel, and GC are all ref-agnostic — only head RESOLUTION is per
+    # ref. Heads live at _manifests/heads/<ref>/h{K}.json, an
+    # append-only mini-chain claimed with the same create-if-absent
+    # link CAS (h{K+1} is the compare-and-swap: it succeeds only for
+    # one writer, and only when the current head h{K} equals the
+    # version the writer's manifest names as parent).
+    #
+    # Un-branched tables never materialize ANY head: "main" resolves
+    # through the contiguous-version walk exactly as before, at zero
+    # cost. The first create_branch() materializes heads/main, and from
+    # then on main commits maintain it. The materialization race is
+    # closed by ORDER: a committer checks for heads/main AFTER claiming
+    # its version file, and create_branch creates the heads dir BEFORE
+    # walking for the latest version — every interleaving either lets
+    # the committer participate in the head chain or makes its version
+    # visible to create_branch's walk.
+
+    def _heads_dir(self, ref: str) -> str:
+        return os.path.join(self.manifest_dir, "heads", ref)
+
+    @staticmethod
+    def _head_entry(d: str) -> tuple[int, int | None]:
+        """(k, version) of the highest claimed head file under ``d``,
+        (-1, None) if absent/empty. Hint + forward-walk, like
+        _latest_version — never O(#entries) on the hot path."""
+        k = -1
+        try:
+            with open(os.path.join(d, "_hint")) as f:
+                k = int(f.read().strip())
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            if not os.path.isdir(d):
+                return -1, None
+            for fn in os.listdir(d):
+                if fn.startswith("h") and fn.endswith(".json"):
+                    k = max(k, int(fn[1:-5]))
+        while os.path.exists(os.path.join(d, f"h{k + 1}.json")):
+            k += 1
+        if k < 0:
+            return -1, None
+        try:
+            with open(os.path.join(d, f"h{k}.json")) as f:
+                return k, int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return -1, None
+
+    def _head_version(self, ref: str) -> int | None:
+        return self._head_entry(self._heads_dir(ref))[1]
+
+    def _claim_head_file(self, d: str, k: int, version: int) -> bool:
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"h{k}.json")
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"version": int(version)}))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        os.remove(tmp)
+        _atomic_write(os.path.join(d, "_hint"), str(k))
+        return True
+
+    def _advance_main_head(self, manifest: dict) -> bool:
+        """Post-claim head maintenance for metadata-only main commits
+        (evolve/drop): a no-op on un-branched tables; on branched
+        tables CAS main's head from the manifest's parent to its
+        version, False (caller rebases, claimed version orphans) on a
+        lost race."""
+        if not os.path.isdir(self._heads_dir("main")):
+            return True
+        return self._advance_head(
+            "main", manifest["version"], parent=manifest["parent"]
+        )
+
+    def _advance_head(self, ref: str, version: int, parent: int) -> bool:
+        """CAS the ref's head from ``parent`` to ``version``. False if
+        the head is neither (a concurrent writer advanced the ref —
+        the caller rebases). Idempotent when the head already IS
+        ``version``."""
+        d = self._heads_dir(ref)
+        for _ in range(3):
+            _k, hv = self._head_entry(d)
+            if hv == version:
+                return True
+            if hv is not None and hv != parent:
+                return False
+            if self._claim_head_file(d, _k + 1, version):
+                return True
+        return False
+
+    def branches(self) -> dict[str, int]:
+        """{branch name: head version} for every ref except main."""
+        d = os.path.join(self.manifest_dir, "heads")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for name in os.listdir(d):
+            if name == "main":
+                continue
+            v = self._head_version(name)
+            if v is not None:
+                out[name] = v
+        return out
+
+    def create_branch(
+        self, name: str, from_version: int | None = None
+    ) -> int:
+        """Fork a named branch (write-audit-publish staging): commits
+        made with ``ref=name`` are invisible to main readers until
+        ``publish_branch`` fast-forwards main onto the audited head.
+        Returns the branch's base version."""
+        if (
+            not name or name == "main" or name.startswith(".")
+            or any(ch in name for ch in "/\\\x00")
+        ):
+            raise ValueError(f"invalid branch name {name!r}")
+        # materialize main's explicit head FIRST (mkdir before the
+        # latest-walk — see the race note above)
+        md = self._heads_dir("main")
+        os.makedirs(md, exist_ok=True)
+        if self._head_entry(md)[1] is None:
+            self._claim_head_file(md, 0, self._latest_version())
+        base = (
+            self.snapshot()["version"] if from_version is None
+            else int(from_version)
+        )
+        if base not in self.versions():
+            raise ValueError(f"no snapshot version {base}")
+        d = self._heads_dir(name)
+        if self._head_entry(d)[1] is not None:
+            raise ValueError(f"branch {name!r} already exists")
+        if not self._claim_head_file(d, 0, base):
+            raise ValueError(f"branch {name!r} already exists")
+        return base
+
+    def drop_branch(self, name: str) -> bool:
+        """Delete a branch head (its commits become unreferenced and
+        fall to expire_snapshots). Main cannot be dropped."""
+        if name == "main":
+            raise ValueError("cannot drop main")
+        d = self._heads_dir(name)
+        if not os.path.isdir(d):
+            return False
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        return True
+
+    def publish_branch(
+        self, name: str, drop: bool = False, max_retries: int = 8
+    ) -> int:
+        """Atomically fast-forward main to the branch head — the
+        PUBLISH step of write-audit-publish. Requires main to be an
+        ancestor of the branch head (nothing landed on main since the
+        fork); otherwise CommitConflict — re-fork, re-apply, re-audit.
+        The swap is the head CAS itself, so a main commit racing the
+        publish either lands before it (publish re-checks ancestry and
+        raises) or conflicts on the head chain and rebases."""
+        for _ in range(max_retries):
+            bh = self._head_version(name)
+            if bh is None:
+                raise ValueError(f"no branch {name!r}")
+            mh = self._head_version("main")
+            if mh is None:
+                raise ValueError(
+                    f"main has no explicit head; branch {name!r} was "
+                    "not created by create_branch"
+                )
+            if bh == mh:
+                if drop:
+                    self.drop_branch(name)
+                return bh
+            v: int | None = bh
+            while v is not None and v != mh and v > mh:
+                v = self.snapshot(v).get("parent")
+            if v != mh:
+                raise CommitConflict(
+                    f"main advanced past branch {name!r}'s fork point "
+                    f"(main v{mh} not an ancestor of branch v{bh}); "
+                    "re-fork from the new main and re-apply"
+                )
+            if self._advance_head("main", bh, parent=mh):
+                if drop:
+                    self.drop_branch(name)
+                return bh
+        raise CommitConflict(
+            f"lost {max_retries} head CAS races publishing {name!r}"
+        )
 
     # ----------------------------------------------------- manifest tree IO
     def _load_gm(self, m: dict[str, Any], gid: str) -> dict[str, Any]:
@@ -677,6 +940,7 @@ class LakeTable:
         tag: str | None = None,
         secondary_range: tuple[int | None, int | None] | None = None,
         keys: list[str] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``buckets`` prunes to those buckets only —
         the MERGE's partition-pruning fast path (only touched buckets are
@@ -760,7 +1024,7 @@ class LakeTable:
                 version = self.tags()[tag]
             except KeyError:
                 raise ValueError(f"unknown tag {tag!r}") from None
-        m = self.snapshot(version)
+        m = self.snapshot(version, ref=ref)
         kset: list[str] | None = None
         if keys is not None:
             if key_range is not None:
@@ -975,7 +1239,7 @@ class LakeTable:
                 by_excl.setdefault(excl, []).extend(keep_files)
         for excl, files in by_excl.items():
             gen_legs.append((list(dict.fromkeys(files)), list(excl)))
-        schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
+        schema = stored_schema_ddl(m)
 
         def _scan(files: list[str]) -> DataFrame:
             if not files:
@@ -1043,6 +1307,7 @@ class LakeTable:
                     df.unionByName(delta_union),
                     None,
                     key_cols=m["key_cols"],
+                    patch_cols=m.get("patch_cols"),
                 )
             else:
                 # raw maintenance scan: base ∪ delta rows, unresolved
@@ -1091,6 +1356,7 @@ class LakeTable:
         compression: str | None = None,
         delta_floor: int | None = None,
         key_bloom: bool = False,
+        ref: str = "main",
     ) -> bool:
         """Publish a new snapshot that replaces ``replaced_buckets`` with
         the rows of ``new_content`` (which must contain BUCKET_COL and
@@ -1185,7 +1451,7 @@ class LakeTable:
                 raise ValueError("shard_mod must be >= 1")
         if new_n_buckets is not None and mode != "replace":
             raise ValueError("bucket rescale requires a replace commit")
-        prev = self.snapshot()
+        prev = self.snapshot(ref=ref)
         if self._batch_applied(prev, batch_id):
             return False
         # Staging dir is version-independent (unique suffix): a rebase
@@ -1533,7 +1799,7 @@ class LakeTable:
             else min(GROUP_SIZE, new_n_buckets)
         )
         for _attempt in range(max_retries):
-            cur = self.snapshot()
+            cur = self.snapshot(ref=ref)
             if self._batch_applied(cur, batch_id):
                 return False
             if cur["n_buckets"] != base["n_buckets"]:
@@ -1757,8 +2023,14 @@ class LakeTable:
             lineage["rows_total"] = sum(
                 g["rows"] + g["delta_rows"] for g in groups.values()
             ) + sum(g["rows"] for g in sd_list)
+            # Version numbers stay GLOBALLY contiguous (every claim is
+            # global-max + 1) so the _latest walk and expiry see a
+            # gapless chain; on a branched table the ref head (parent)
+            # can trail the global max, so next_v may exceed head + 1.
             manifest = {
-                "version": cur["version"] + 1,
+                "version": max(
+                    self._latest_version(), cur["version"]
+                ) + 1,
                 "parent": cur["version"],
                 "schema_ddl": cur["schema_ddl"],
                 "key_cols": cur["key_cols"],
@@ -1768,6 +2040,7 @@ class LakeTable:
                 ),
                 "group_size": group_size,
                 "stats_col": cur.get("stats_col"),
+                "patch_cols": cur.get("patch_cols"),
                 "batch_id": batch_id,
                 "applied_batch_ids": (cur["applied_batch_ids"] + [batch_id])[
                     -MAX_APPLIED_BATCH_IDS:
@@ -1779,6 +2052,20 @@ class LakeTable:
                 "metrics": metrics or {},
             }
             if self._claim_version(manifest):
+                # Branched tables maintain an explicit ref head: CAS it
+                # from this commit's parent to its version. Checked
+                # AFTER the version claim (closes the heads/main
+                # materialization race — see the branches section). A
+                # lost head CAS means a concurrent writer advanced the
+                # ref between our snapshot read and our claim: the
+                # claimed version stays behind as an unreferenced
+                # orphan (removing it would punch a hole in the
+                # version walk) and the loop rebases.
+                if ref != "main" or os.path.isdir(self._heads_dir("main")):
+                    if not self._advance_head(
+                        ref, manifest["version"], parent=cur["version"]
+                    ):
+                        continue
                 self._mark_batch_applied(batch_id)
                 # Commit observability (Iceberg commit-metrics analog):
                 # phase walls for the last successful commit — the data
@@ -1818,7 +2105,9 @@ class LakeTable:
                     "(no per-file field IDs)"
                 )
             m = dict(prev)
-            m["version"] = prev["version"] + 1
+            m["version"] = max(
+                self._latest_version(), prev["version"]
+            ) + 1
             m["parent"] = prev["version"]
             m["schema_ddl"] = new_ddl
             m["batch_id"] = batch_id
@@ -1827,6 +2116,8 @@ class LakeTable:
             ]
             m["committed_at"] = time.time()
             if self._claim_version(m):
+                if not self._advance_main_head(m):
+                    continue
                 self._mark_batch_applied(batch_id)
                 return True
         raise CommitConflict(f"lost 8 CAS races evolving schema ({batch_id})")
@@ -1861,9 +2152,16 @@ class LakeTable:
             if len(keep) == len(parts):
                 raise ValueError(f"no such column {col!r}")
             m2 = dict(prev)
-            m2["version"] = prev["version"] + 1
+            m2["version"] = max(
+                self._latest_version(), prev["version"]
+            ) + 1
             m2["parent"] = prev["version"]
             m2["schema_ddl"] = ", ".join(keep)
+            if col in (prev.get("patch_cols") or []):
+                # the cell column goes, its provenance stops scanning
+                m2["patch_cols"] = [
+                    c for c in prev["patch_cols"] if c != col
+                ] or None
             m2["dropped_cols"] = sorted(
                 set(prev.get("dropped_cols", [])) | {col}
             )
@@ -1873,6 +2171,8 @@ class LakeTable:
             )[-MAX_APPLIED_BATCH_IDS:]
             m2["committed_at"] = time.time()
             if self._claim_version(m2):
+                if not self._advance_main_head(m2):
+                    continue
                 self._mark_batch_applied(batch_id)
                 return True
         raise CommitConflict(f"lost 8 CAS races dropping {col} ({batch_id})")
@@ -2075,6 +2375,37 @@ class LakeTable:
         )
 
     # ---------------------------------------------------------- maintenance
+    def _branch_chain_versions(
+        self,
+        keep: set[int],
+        restrict: set[int],
+        manifests: dict[int, dict] | None = None,
+    ) -> set[int]:
+        """Versions (limited to ``restrict``) on any ref head's parent
+        chain, walking until a version already in ``keep``. ``manifests``
+        supplies pre-read roots for versions whose files are mid-rename
+        (the expiry claim window)."""
+        heads = list(self.branches().values())
+        mh = self._head_version("main")
+        if mh is not None:
+            heads.append(mh)
+        out: set[int] = set()
+        seen: set[int] = set()
+        for h in heads:
+            v: int | None = h
+            while v is not None and v not in keep and v not in seen:
+                seen.add(v)
+                if v in restrict:
+                    out.add(v)
+                m = (manifests or {}).get(v)
+                if m is None:
+                    try:
+                        m = self.snapshot(v)
+                    except FileNotFoundError:
+                        break
+                v = m.get("parent")
+        return out
+
     def expire_snapshots(
         self,
         keep_last: int = 10,
@@ -2113,6 +2444,7 @@ class LakeTable:
         # dangle); untagged leftovers stay invisible and fall to the
         # grace-gated orphan sweep below.
         cur_tags = set(self.tags().values())
+        expiring: dict[int, dict] = {}
         for fn in os.listdir(self.manifest_dir):
             if not fn.endswith(".json.expiring"):
                 continue
@@ -2120,10 +2452,31 @@ class LakeTable:
                 v = int(fn[1:-len(".json.expiring")])
             except ValueError:
                 continue
-            if v in cur_tags:
+            if v not in cur_tags:
+                try:
+                    with open(os.path.join(self.manifest_dir, fn)) as f:
+                        expiring[v] = json.load(f)
+                except (OSError, ValueError):
+                    pass
+                continue
+            try:
+                os.rename(
+                    os.path.join(self.manifest_dir, fn),
+                    os.path.join(self.manifest_dir, self._vname(v)),
+                )
+            except FileNotFoundError:
+                pass
+        if expiring:
+            # ... and ones on a CURRENT branch-head chain (a crash
+            # between claiming and the late head re-read)
+            for v in self._branch_chain_versions(
+                set(), set(expiring), manifests=expiring
+            ):
                 try:
                     os.rename(
-                        os.path.join(self.manifest_dir, fn),
+                        os.path.join(
+                            self.manifest_dir, self._vname(v) + ".expiring"
+                        ),
                         os.path.join(self.manifest_dir, self._vname(v)),
                     )
                 except FileNotFoundError:
@@ -2134,6 +2487,12 @@ class LakeTable:
         }
         # tagged snapshots are durable anchors: always retained
         keep |= {v for v in self.tags().values() if v in versions}
+        # branch heads and their ancestor chains are retained: a branch
+        # forked from an old main version must keep every snapshot on
+        # its parent chain (its commits reference files no main
+        # snapshot knows). Walk each head's parents until hitting an
+        # already-kept version; chains are bounded by branch lifetime.
+        keep |= self._branch_chain_versions(keep, set(versions))
         # --- tag/expiry race closure (two-phase victim retirement):
         # make every victim INVISIBLE first (atomic rename to
         # *.expiring), then RE-READ tags and restore any victim tagged
@@ -2159,6 +2518,13 @@ class LakeTable:
         late_tagged = {
             v for v in self.tags().values() if v in set(claimed)
         }
+        # symmetric closure for branches created in the window: re-read
+        # heads after claiming and restore any claimed version on a
+        # current head chain (manifests for claimed versions come from
+        # the pre-rename reads)
+        late_tagged |= self._branch_chain_versions(
+            keep, set(claimed), manifests=expired_manifests
+        )
         for v in late_tagged:
             vpath = os.path.join(self.manifest_dir, self._vname(v))
             os.rename(vpath + ".expiring", vpath)
@@ -2448,7 +2814,7 @@ class LakeTable:
             for e in entries.values()
             for f in e["files"]
         ]
-        schema = f"{m['schema_ddl']}, {LSN_COL} long, {DELETED_COL} boolean"
+        schema = stored_schema_ddl(m)
         base = (
             self.spark.read.schema(schema).parquet(*files)
             .withColumn(

@@ -1,0 +1,216 @@
+"""Write-audit-publish branches: named heads over the shared version
+space (lake.py branches section). Staged commits are invisible to main
+until an ancestry-checked head CAS fast-forwards it; every interleaving
+with concurrent main writers either publishes atomically or raises
+CommitConflict — never a lost commit, never a torn read.
+"""
+
+from datetime import datetime
+
+import pytest
+
+from etl_bitcoin_spark.operators.merge import (
+    BINLOG_DDL,
+    KEY_COLS,
+    TRANSCRIPTS_DDL,
+    apply_batch,
+)
+from etl_bitcoin_spark.tableformat import LakeTable
+from etl_bitcoin_spark.tableformat.lake import CommitConflict
+
+
+def _ev(spark, rows):
+    rows = [
+        (lsn, op, c, t, role, text, tool, datetime.fromisoformat(ts))
+        for (lsn, op, c, t, role, text, tool, ts) in rows
+    ]
+    return spark.createDataFrame(rows, BINLOG_DDL)
+
+
+def _mk(spark, tmp_path, name="lake", n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / name), TRANSCRIPTS_DDL, KEY_COLS,
+        n_buckets=n_buckets,
+    )
+
+
+def _row(lsn, conv, text, ts="2024-01-01 00:00:01"):
+    return (lsn, "I", conv, 0, "user", text, None, ts)
+
+
+def _texts(lake, **kw):
+    return {
+        (r["conv_id"]): r["text"]
+        for r in lake.read(user_cols=True, **kw).collect()
+    }
+
+
+def test_branch_commits_invisible_until_publish(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "base")]), "b0",
+                assume_all_buckets=True)
+    base_v = lake.snapshot()["version"]
+    lake.create_branch("audit")
+    apply_batch(lake, _ev(spark, [_row(2, "c2", "staged")]), "b1",
+                merge_mode="read", ref="audit")
+    # main readers see only the base; branch readers see the stage
+    assert _texts(lake) == {"c1": "base"}
+    assert _texts(lake, ref="audit") == {"c1": "base", "c2": "staged"}
+    assert lake.snapshot()["version"] == base_v
+    # audit passed -> publish fast-forwards main atomically
+    v = lake.publish_branch("audit", drop=True)
+    assert _texts(lake) == {"c1": "base", "c2": "staged"}
+    assert lake.snapshot()["version"] == v
+    assert lake.branches() == {}
+    # time travel across the publish still works
+    assert _texts(lake, version=base_v) == {"c1": "base"}
+
+
+def test_branch_multi_batch_then_more_main_commits(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "m1")]), "b0",
+                assume_all_buckets=True)
+    lake.create_branch("wap")
+    for i, (lsn, conv) in enumerate([(2, "c2"), (3, "c3"), (4, "c4")]):
+        apply_batch(lake, _ev(spark, [_row(lsn, conv, f"s{i}")]),
+                    f"s{i}", merge_mode="read", ref="wap")
+    lake.publish_branch("wap", drop=True)
+    # main continues committing normally after the publish
+    apply_batch(lake, _ev(spark, [_row(5, "c5", "m2")]), "b1",
+                merge_mode="read")
+    assert set(_texts(lake)) == {"c1", "c2", "c3", "c4", "c5"}
+
+
+def test_publish_conflicts_when_main_advanced(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "m1")]), "b0",
+                assume_all_buckets=True)
+    lake.create_branch("stale")
+    apply_batch(lake, _ev(spark, [_row(2, "c2", "staged")]), "b1",
+                merge_mode="read", ref="stale")
+    # main moves past the fork point
+    apply_batch(lake, _ev(spark, [_row(3, "c3", "m2")]), "b2",
+                merge_mode="read")
+    with pytest.raises(CommitConflict, match="advanced past"):
+        lake.publish_branch("stale")
+    # main never saw the staged row; the branch still has it
+    assert "c2" not in _texts(lake)
+    assert _texts(lake, ref="stale")["c2"] == "staged"
+    # the WAP retry loop: re-fork, re-apply, publish
+    lake.drop_branch("stale")
+    lake.create_branch("retry")
+    apply_batch(lake, _ev(spark, [_row(4, "c2", "staged2")]), "b3",
+                merge_mode="read", ref="retry")
+    lake.publish_branch("retry", drop=True)
+    assert _texts(lake)["c2"] == "staged2"
+
+
+def test_concurrent_main_and_branch_writers_no_lost_commits(
+    spark, tmp_path
+):
+    """Main and branch commits interleave freely (they share the global
+    version space but distinct heads): neither is lost, publish after
+    the main commit raises diverged."""
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "m1")]), "b0",
+                assume_all_buckets=True)
+    lake.create_branch("w")
+    # interleave: branch, main, branch, main
+    apply_batch(lake, _ev(spark, [_row(2, "c2", "s1")]), "s1",
+                merge_mode="read", ref="w")
+    apply_batch(lake, _ev(spark, [_row(3, "c3", "m2")]), "m2",
+                merge_mode="read")
+    apply_batch(lake, _ev(spark, [_row(4, "c4", "s2")]), "s2",
+                merge_mode="read", ref="w")
+    apply_batch(lake, _ev(spark, [_row(5, "c5", "m3")]), "m3",
+                merge_mode="read")
+    assert set(_texts(lake)) == {"c1", "c3", "c5"}
+    assert set(_texts(lake, ref="w")) == {"c1", "c2", "c4"}
+    with pytest.raises(CommitConflict):
+        lake.publish_branch("w")
+
+
+def test_threaded_same_branch_writers_cas(spark, tmp_path):
+    """Two threads committing disjoint-key delta batches to the SAME
+    branch: head CAS serializes them; both land."""
+    import threading
+
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "m1")]), "b0",
+                assume_all_buckets=True)
+    lake.create_branch("t")
+    errs = []
+
+    def w(lsn, conv, bid):
+        try:
+            apply_batch(
+                lake, _ev(spark, [_row(lsn, conv, f"v{lsn}")]), bid,
+                merge_mode="read", ref="t",
+            )
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=w, args=(2, "c2", "t1")),
+        threading.Thread(target=w, args=(3, "c3", "t2")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert set(_texts(lake, ref="t")) == {"c1", "c2", "c3"}
+    lake.publish_branch("t", drop=True)
+    assert set(_texts(lake)) == {"c1", "c2", "c3"}
+
+
+def test_expiry_keeps_branch_chains(spark, tmp_path):
+    """A branch forked long ago retains its fork-chain versions through
+    aggressive expiry; after publish + drop, expiry reclaims normally."""
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "m1")]), "b0",
+                assume_all_buckets=True)
+    lake.create_branch("old")
+    apply_batch(lake, _ev(spark, [_row(2, "c2", "staged")]), "s0",
+                merge_mode="read", ref="old")
+    bh = lake.snapshot(ref="old")["version"]
+    # push many main commits so keep_last=2 would otherwise expire the
+    # branch head and its parents
+    for i in range(8):
+        apply_batch(lake, _ev(spark, [_row(10 + i, f"m{i}", "x")]),
+                    f"m{i}", merge_mode="read")
+    lake.expire_snapshots(keep_last=2)
+    # branch still fully readable (its chain survived)
+    assert _texts(lake, ref="old")["c2"] == "staged"
+    assert bh in lake.versions()
+    # main advanced -> publish refuses; drop instead, expiry reclaims
+    with pytest.raises(CommitConflict):
+        lake.publish_branch("old")
+    lake.drop_branch("old")
+    lake.expire_snapshots(keep_last=2)
+    assert bh not in lake.versions()
+
+
+def test_unbranched_tables_never_materialize_heads(spark, tmp_path):
+    import os
+
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "m1")]), "b0",
+                assume_all_buckets=True)
+    apply_batch(lake, _ev(spark, [_row(2, "c2", "m2")]), "b1",
+                merge_mode="read")
+    assert not os.path.isdir(os.path.join(lake.manifest_dir, "heads"))
+
+
+def test_branch_name_validation_and_errors(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    for bad in ("main", "", "a/b", ".hidden"):
+        with pytest.raises(ValueError):
+            lake.create_branch(bad)
+    lake.create_branch("ok")
+    with pytest.raises(ValueError, match="already exists"):
+        lake.create_branch("ok")
+    with pytest.raises(ValueError, match="no branch"):
+        lake.snapshot(ref="nope")
+    with pytest.raises(ValueError, match="cannot drop main"):
+        lake.drop_branch("main")
