@@ -2203,6 +2203,177 @@ class LakeTable:
             "committed_at double, metrics string",
         )
 
+    def files(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
+        """Per-file metadata as a DataFrame (Iceberg's ``.files``
+        metadata-table analog): one row per live data file of the
+        snapshot with its bucket, kind (base/delta/shard), on-disk
+        size, recorded lsn [min,max], first-key [min,max], stats_col
+        [min,max], and whether a key Bloom rides it. Driver-built from
+        the manifest tree (a metadata scan, like every engine's files
+        table — pass ``buckets`` to bound it on very large tables);
+        shard-generation files appear ONCE under bucket -1 with their
+        generation version/k, not expanded per member bucket."""
+        m = self.snapshot(version, ref=ref)
+        entries = self.bucket_entries(
+            version=m["version"], buckets=buckets, include_shard=False
+        )
+        rows = []
+
+        def _stat(path):
+            try:
+                return os.path.getsize(os.path.join(self.root, path))
+            except OSError:
+                return None
+
+        def _row(b, kind, f, e, extra=None):
+            fs = e.get("file_stats", {}).get(f) or [None, None]
+            ks = e.get("key_stats", {}).get(f) or [None, None]
+            vs = e.get("val_stats", {}).get(f) or [None, None]
+            rows.append((
+                b, kind, f, _stat(f),
+                fs[0], fs[1],
+                str(ks[0]) if ks[0] is not None else None,
+                str(ks[1]) if ks[1] is not None else None,
+                vs[0], vs[1],
+                len(ks) > 2 and ks[2] is not None,
+                *(extra or (None, None)),
+            ))
+
+        for b, e in entries.items():
+            for f in e["files"]:
+                _row(int(b), "base", f, e)
+            for f in e["deltas"]:
+                _row(int(b), "delta", f, e)
+        for g in m.get("shard_deltas", []):
+            for f in g["files"]:
+                _row(-1, "shard", f, g, extra=(g["v"], g["k"]))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, kind string, path string, size_bytes long, "
+            "lsn_min long, lsn_max long, key_min string, key_max "
+            "string, val_min long, val_max long, has_key_bloom "
+            "boolean, gen_version int, gen_k int",
+        )
+
+    def verify(
+        self, version: int | None = None, deep: bool = False
+    ) -> dict[str, Any]:
+        """Table fsck: walk the snapshot's manifest tree and check the
+        invariants every reader depends on. Always checked (metadata +
+        one stat per file): group/bucket manifest nodes load, group row
+        counts equal the sum of their buckets', every referenced data
+        file exists and is non-empty, lineage applied-ranges are sorted
+        and non-overlapping with hwm == the highest range end.
+        ``deep=True`` additionally opens every parquet footer
+        (driver-threaded, local IO) and checks per-file physical row
+        counts against manifest row counts per BASE bucket and that
+        footer lsn ranges sit inside the recorded file_stats. Returns
+        {"ok", "errors", "files_checked", "rows_total"} — never raises
+        on a finding, so operators can alert on the report."""
+        errors: list[str] = []
+        m = self.snapshot(version)
+        n_files = 0
+        # --- manifest tree + file existence + group/bucket row sums
+        for gid, g in m["groups"].items():
+            try:
+                gm = self._load_gm(m, gid)
+            except Exception as e:  # noqa: BLE001 — fsck reports, never raises
+                errors.append(f"group {gid}: manifest unreadable: {e}")
+                continue
+            brows = 0
+            for b, ptr in gm.items():
+                try:
+                    bm = self._load_bm(ptr)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"bucket {b}: manifest unreadable: {e}")
+                    continue
+                brows += bm["rows"]
+                for f in list(bm["files"]) + list(bm["deltas"]):
+                    n_files += 1
+                    p = os.path.join(self.root, f)
+                    if not os.path.exists(p):
+                        errors.append(f"bucket {b}: missing file {f}")
+                    elif os.path.getsize(p) == 0:
+                        errors.append(f"bucket {b}: empty file {f}")
+            if brows != g["rows"]:
+                errors.append(
+                    f"group {gid}: rows {g['rows']} != sum of bucket "
+                    f"rows {brows}"
+                )
+        for gen in m.get("shard_deltas", []):
+            for f in gen["files"]:
+                n_files += 1
+                p = os.path.join(self.root, f)
+                if not os.path.exists(p):
+                    errors.append(f"shard gen v{gen['v']}: missing {f}")
+        # --- lineage invariants
+        lin = m.get("lineage", {})
+        ranges = sorted(tuple(r) for r in lin.get("applied_ranges", []))
+        for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+            if blo <= ahi:
+                errors.append(
+                    f"lineage: overlapping ranges ({alo},{ahi}) / "
+                    f"({blo},{bhi})"
+                )
+        if ranges and lin.get("hwm") != ranges[-1][1]:
+            errors.append(
+                f"lineage: hwm {lin.get('hwm')} != last range end "
+                f"{ranges[-1][1]}"
+            )
+        rows_total = lin.get("rows_total", 0)
+        if deep:
+            import pyarrow.parquet as pq
+
+            entries = self.bucket_entries(
+                version=m["version"], include_shard=False
+            )
+
+            def _deep(item):
+                b, e = item
+                errs = []
+                phys = 0
+                for f in e["files"]:
+                    p = os.path.join(self.root, f)
+                    try:
+                        md = pq.read_metadata(p)
+                    except Exception as ex:  # noqa: BLE001
+                        errs.append(f"bucket {b}: bad footer {f}: {ex}")
+                        continue
+                    phys += md.num_rows
+                    rec = e.get("file_stats", {}).get(f)
+                    got = _footer_lsn_stats(md)
+                    if rec and got and (
+                        got[0] < rec[0] or got[1] > rec[1]
+                    ):
+                        errs.append(
+                            f"bucket {b}: {f} footer lsn {got} outside "
+                            f"recorded {rec}"
+                        )
+                if phys != e["rows"]:
+                    errs.append(
+                        f"bucket {b}: physical base rows {phys} != "
+                        f"manifest rows {e['rows']}"
+                    )
+                return errs
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                for errs in ex.map(_deep, entries.items()):
+                    errors.extend(errs)
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "files_checked": n_files,
+            "rows_total": rows_total,
+            "version": m["version"],
+        }
+
     def rescale_buckets(
         self, new_n_buckets: int, batch_id: str
     ) -> dict[str, Any]:
