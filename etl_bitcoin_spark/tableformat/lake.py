@@ -2839,6 +2839,7 @@ class LakeTable:
         batch_id: str | None = None,
         max_buckets: int | None = None,
         key_bloom: bool = False,
+        ref: str = "main",
     ) -> dict[str, Any]:
         """Fold merge-on-read delta files back into the base for every
         bucket whose delta count exceeds the policy — bounding read
@@ -2847,8 +2848,10 @@ class LakeTable:
         aggregated counts; only groups with deltas load their bucket
         pointers); the rewrite reads and replaces only victim buckets.
         Idempotent on batch_id; safe to run concurrently with delta
-        appends (replace-mode CAS conflicts make the loser retry)."""
-        m = self.snapshot()
+        appends (replace-mode CAS conflicts make the loser retry).
+        ``ref`` compacts a BRANCH's deltas (write-audit-publish staging
+        accumulates merge-on-read batches like any stream)."""
+        m = self.snapshot(ref=ref)
         sd = m.get("shard_deltas", [])
         eff: dict[int, int] = {}
         if sd:
@@ -2909,6 +2912,7 @@ class LakeTable:
             batch_id or f"compact-deltas-v{m['version']}",
             metrics={"compaction": "deltas", "buckets": len(victims)},
             base_version=m["version"],
+            ref=ref,
             # the content is a fully-RESOLVED read at m["version"]:
             # advance the victims' shard-delta floor so folded
             # generations stop re-applying (and prune once global)

@@ -214,3 +214,30 @@ def test_branch_name_validation_and_errors(spark, tmp_path):
         lake.snapshot(ref="nope")
     with pytest.raises(ValueError, match="cannot drop main"):
         lake.drop_branch("main")
+
+
+def test_branch_delta_compaction(spark, tmp_path):
+    """Staged MOR batches on a branch compact IN the branch (ref-aware
+    maintenance): read amp bounded, state unchanged, main untouched
+    until publish."""
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [_row(1, "c1", "m1")]), "b0",
+                assume_all_buckets=True)
+    lake.create_branch("stage")
+    for i in range(4):
+        apply_batch(
+            lake, _ev(spark, [_row(2 + i, f"s{i}", f"v{i}")]), f"s{i}",
+            merge_mode="read", ref="stage",
+        )
+    r = lake.compact_deltas(
+        max_deltas_per_bucket=0, batch_id="bc", ref="stage"
+    )
+    assert r["applied"] and r["buckets_compacted"] > 0
+    ent = lake.bucket_entries(
+        version=lake.snapshot(ref="stage")["version"]
+    )
+    assert all(len(e["deltas"]) == 0 for e in ent.values())
+    assert set(_texts(lake, ref="stage")) == {"c1", "s0", "s1", "s2", "s3"}
+    assert set(_texts(lake)) == {"c1"}
+    lake.publish_branch("stage", drop=True)
+    assert set(_texts(lake)) == {"c1", "s0", "s1", "s2", "s3"}

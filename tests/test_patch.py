@@ -258,3 +258,76 @@ def test_patch_plan_shape_no_extra_shuffle(spark, tmp_path):
         return plan.count("Exchange")
 
     assert n_exchanges(patched.read()) == n_exchanges(plain.read())
+
+
+# --------------------------------------------------------------- property
+from datetime import timedelta  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_BASE = datetime(2024, 1, 1)
+
+
+@st.composite
+def patch_streams(draw):
+    """Adversarial partial-image streams: few keys (collisions), tiny ts
+    domain (ties), every column independently present/absent per event,
+    full images with EXPLICIT nulls, deletes, reinserts, and an
+    in-batch verbatim duplicate."""
+    n = draw(st.integers(min_value=1, max_value=32))
+    events = []
+    for lsn in range(1, n + 1):
+        conv = draw(st.integers(0, 1))
+        turn = draw(st.integers(0, 1))
+        op = draw(st.sampled_from(["I", "U", "U", "D"]))
+        ts = (_BASE + timedelta(seconds=draw(st.integers(0, 4))))
+        role = text = tool = None
+        if op != "D":
+            role = draw(st.sampled_from([None, "user", "asst"]))
+            text = draw(st.sampled_from([None, f"t{lsn}", "x"]))
+            tool = draw(st.sampled_from([None, "grep"]))
+        events.append((lsn, op, f"c{conv}", turn, role, text, tool,
+                       ts.isoformat(sep=" ")))
+    if draw(st.booleans()) and n > 1:
+        events.append(events[draw(st.integers(0, n - 1))])
+    return events
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    stream=patch_streams(),
+    width=st.sampled_from([5, 11, 1000]),
+    mode=st.sampled_from(["write", "raw", "summary", "mixed"]),
+)
+def test_patch_random_streams_match_cell_oracle(
+    spark, tmp_path_factory, stream, width, mode
+):
+    """Engine cell-LWW state == the python cell oracle for every
+    random stream, batching width, and physical plan (merge-on-write,
+    raw deltas, summary deltas, and a mix)."""
+    lake_dir = str(tmp_path_factory.mktemp("prop_patch"))
+    lake = LakeTable.create(
+        spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, 4,
+        patch_cols=PATCH_COLS,
+    )
+    lo, hi = stream[0][0], max(e[0] for e in stream)
+    i = 0
+    for s in range(lo, hi + 1, width):
+        e = min(s + width - 1, hi)
+        chunk = [r for r in stream if s <= r[0] <= e]
+        if not chunk:
+            continue
+        m = mode if mode != "mixed" else ["write", "raw", "summary"][i % 3]
+        kw = (
+            {"merge_mode": "read", "delta_plan": m}
+            if m in ("raw", "summary") else {"assume_all_buckets": True}
+        )
+        apply_batch(lake, _ev(spark, chunk), f"pb{i}",
+                    lsn_range_hint=(s, e), **kw)
+        i += 1
+    _check(lake, stream)
