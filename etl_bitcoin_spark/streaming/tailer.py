@@ -61,6 +61,7 @@ class BinlogTailer:
         views: list | None = None,
         delta_plan: str = "auto",
         key_bloom: bool = False,
+        ref: str = "main",
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -106,6 +107,16 @@ class BinlogTailer:
         # algebra — changed-groups-only, exactly-once via the relay
         # cursor, so a crash-replayed trigger re-ticks as a no-op).
         self.views = list(views or [])
+        # Streaming write-audit-publish: every commit this tail makes
+        # (merges AND compactions) targets the named branch; main stays
+        # untouched until lake.publish_branch. The view relay tracks
+        # main versions, so it is exclusive with a branch target.
+        self.ref = ref
+        if ref != "main" and self.views:
+            raise ValueError(
+                "views relay is main-only; a branch-targeted tail "
+                "cannot maintain main-version view cursors"
+            )
         # Merge-on-read delta plan (operators.merge apply_batch
         # delta_plan docstring): "summary" collapses each batch through
         # the resolution window (one file per bucket); "raw" appends
@@ -226,6 +237,7 @@ class BinlogTailer:
                     self.lake.compact_deltas(
                         self.compact_max_deltas, batch_id=None,
                         key_bloom=self.key_bloom,
+                        ref=self.ref,
                     )
                 except CommitConflict:
                     pass
@@ -259,7 +271,7 @@ class BinlogTailer:
         # mean a misconfigured second writer, which SHOULD surface.
         for attempt in range(3):
             bloom = self._load_bloom()
-            guard = ExactlyOnceFilter(self.lake.lineage(), bloom)
+            guard = ExactlyOnceFilter(self.lake.lineage(ref=self.ref), bloom)
             try:
                 res = apply_batch(
                     self.lake,
@@ -275,6 +287,7 @@ class BinlogTailer:
                         else "summary"
                     ),
                     key_bloom=self.key_bloom,
+                    ref=self.ref,
                 )
                 break
             except CommitConflict:
@@ -364,6 +377,7 @@ class BinlogTailer:
                     self.compact_max_deltas, batch_id=batch_id,
                     max_buckets=self.compact_max_buckets,
                     key_bloom=self.key_bloom,
+                    ref=self.ref,
                 )
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)

@@ -3127,8 +3127,8 @@ class LakeTable:
         reference re-scans the whole CSV to find it: csv_file.go:122-129)."""
         return self.snapshot()["lineage"]["hwm"]
 
-    def lineage(self) -> dict[str, Any]:
-        return self.snapshot()["lineage"]
+    def lineage(self, ref: str | None = None) -> dict[str, Any]:
+        return self.snapshot(ref=ref)["lineage"]
 
 
 def prune_marker_ledger(ledger: str, retention_sec: float | None) -> int:

@@ -241,3 +241,51 @@ def test_branch_delta_compaction(spark, tmp_path):
     assert set(_texts(lake)) == {"c1"}
     lake.publish_branch("stage", drop=True)
     assert set(_texts(lake)) == {"c1", "s0", "s1", "s2", "s3"}
+
+
+def test_streaming_wap_tail_into_branch(spark, tmp_path):
+    """A live tail can stage into a branch (streaming write-audit-
+    publish): every merge and compaction commit lands on the branch,
+    main is untouched until publish, and the published state equals
+    the oracle replay."""
+    from etl_bitcoin_spark.gen import (
+        BinlogSpec, generate_binlog, oracle_replay, write_segments,
+    )
+    from etl_bitcoin_spark.streaming.tailer import BinlogTailer
+
+    pdf = generate_binlog(BinlogSpec(seed=11, n_events=800, n_segments=4))
+    write_segments(pdf, str(tmp_path / "wal"))
+    lake = _mk(spark, tmp_path)
+    base_v = lake.snapshot()["version"]
+    lake.create_branch("stage")
+    t = BinlogTailer(
+        spark, str(tmp_path / "wal"), lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, merge_on_read=True,
+        compact_max_deltas=1, ref="stage",
+    )
+    t.run_available()
+    assert lake.snapshot()["version"] == base_v  # main untouched
+    assert lake.read(user_cols=True).count() == 0
+    got = (
+        lake.read(user_cols=True, ref="stage")
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    want = oracle_replay(pdf)
+    assert list(got["text"]) == list(want["text"])
+    lake.publish_branch("stage", drop=True)
+    got_main = (
+        lake.read(user_cols=True).orderBy("conv_id", "turn_idx").toPandas()
+    )
+    assert list(got_main["text"]) == list(want["text"])
+
+
+def test_streaming_wap_views_rejected(spark, tmp_path):
+    from etl_bitcoin_spark.streaming.tailer import BinlogTailer
+
+    lake = _mk(spark, tmp_path)
+    lake.create_branch("b")
+    with pytest.raises(ValueError, match="main-only"):
+        BinlogTailer(
+            spark, str(tmp_path / "wal"), lake, str(tmp_path / "ck"),
+            ref="b", views=[("x",)],
+        )
