@@ -46,6 +46,14 @@ SEED = 42
 # raw plan's regime) while the RUN-level multiplicity is ~10 — cross-
 # batch updates keep compaction honest (it actually folds).
 N_CONVS = int(os.environ.get("ENDUR_CONVS", str(2_000_000)))
+# ENDUR_PATCH=1 runs the CELL-LWW path: the table is created with
+# patch_cols=['role','text','tool'], U events drop role when lsn%2==0
+# and tool when lsn%3==0 (partial images), and the run ends with a
+# per-key oracle probe: regenerate ALL events of a few sampled convs
+# from the deterministic generator, cell-fold them in python, and
+# compare against the lake's resolved rows — end-to-end correctness
+# evidence at volume, not just throughput.
+PATCH = os.environ.get("ENDUR_PATCH") == "1"
 
 
 def _rss_mb(pid: int) -> float:
@@ -102,8 +110,23 @@ def main() -> None:
 
     shutil.rmtree(lake_dir, ignore_errors=True)
     lake = LakeTable.create(
-        spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, N_BUCKETS
+        spark, lake_dir, TRANSCRIPTS_DDL, KEY_COLS, N_BUCKETS,
+        patch_cols=(["role", "text", "tool"] if PATCH else None),
     )
+
+    def _patchify(ev):
+        from pyspark.sql import functions as F
+
+        u = F.col("op") == F.lit("U")
+        return ev.withColumn(
+            "role",
+            F.when(u & (F.col("lsn") % 2 == 0),
+                   F.lit(None).cast("string")).otherwise(F.col("role")),
+        ).withColumn(
+            "tool",
+            F.when(u & (F.col("lsn") % 3 == 0),
+                   F.lit(None).cast("string")).otherwise(F.col("tool")),
+        )
 
     me = os.getpid()
     n_batches = (TOTAL + BATCH - 1) // BATCH
@@ -119,6 +142,8 @@ def main() -> None:
             spark.range(lo, hi, 1, 32), TOTAL, seed=SEED,
             n_convs=N_CONVS, max_turns=50, hot_share=0.2,
         )
+        if PATCH:
+            ev = _patchify(ev)
         t0 = time.time()
         r = apply_batch(
             lake, ev, f"endur-{i:06d}",
@@ -166,6 +191,53 @@ def main() -> None:
 
     wall = time.time() - t_run0
     lin = lake.lineage()
+
+    patch_probe = None
+    if PATCH:
+        # end-of-run oracle probe (see PATCH note above): sampled convs,
+        # full per-key event history regenerated from the deterministic
+        # generator, python cell-LWW fold vs the lake's resolved rows
+        from pyspark.sql import functions as F
+
+        some = [
+            r["conv_id"]
+            for r in lake.read(user_cols=True).select("conv_id")
+            .distinct().orderBy("conv_id").limit(3).collect()
+        ]
+        evs = _patchify(derive_binlog_columns(
+            spark.range(0, TOTAL, 1, 256), TOTAL, seed=SEED,
+            n_convs=N_CONVS, max_turns=50, hot_share=0.2,
+        )).filter(F.col("conv_id").isin(some)).collect()
+        by_key: dict = {}
+        for e in evs:
+            by_key.setdefault((e["conv_id"], e["turn_idx"]), []).append(e)
+        want = {}
+        for k, es in by_key.items():
+            d = max((e["lsn"] for e in es if e["op"] == "D"), default=-1)
+            live = [e for e in es if e["op"] != "D" and e["lsn"] > d]
+            if not live:
+                continue
+            vals = []
+            for c in ("role", "text", "tool"):
+                w = [e for e in live if e["op"] == "I" or e[c] is not None]
+                vals.append(
+                    max(w, key=lambda e: (e["ts"], e["lsn"]))[c]
+                    if w else None
+                )
+            want[k] = tuple(vals)
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+            for r in lake.read(user_cols=True)
+            .filter(F.col("conv_id").isin(some)).collect()
+        }
+        patch_probe = {
+            "convs": some,
+            "keys": len(want),
+            "events_folded": len(evs),
+            "match": got == want,
+        }
+        print(json.dumps({"patch_probe": patch_probe}), flush=True)
+        assert got == want, "patched endurance state != python cell oracle"
     apply_secs = [b["apply_sec"] for b in batches]
     meta_all = [b["commit"].get("meta_sec") for b in batches
                 if b["commit"].get("meta_sec") is not None]
@@ -186,6 +258,8 @@ def main() -> None:
         "sustained_eps": round(applied_total / wall, 0),
         "n_batches": n_batches,
         "n_buckets": N_BUCKETS,
+        "patch": PATCH,
+        "patch_probe": patch_probe,
         "master": os.environ["SPARK_GRAFT_MASTER"],
         "applied_ranges": lin["applied_ranges"],
         "rows_total": lin["rows_total"],
@@ -218,7 +292,10 @@ def main() -> None:
         "batches": batches,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "endurance.json"), "w") as f:
+    suffix = "_patch" if PATCH else ""
+    with open(
+        os.path.join(REPO, "BENCH", f"endurance{suffix}.json"), "w"
+    ) as f:
         json.dump(report, f, indent=1)
 
     apply_eps = [b["eps"] for b in batches]
@@ -259,7 +336,9 @@ end-to-end exactly-once evidence at this scale. Reproduce:
 ENDUR_BUCKETS, ENDUR_MAINT_EVERY, ENDUR_SHUFFLE, ENDUR_COMPACT_DELTAS,
 SPARK_GRAFT_MASTER).
 """
-    with open(os.path.join(REPO, "BENCH", "endurance.md"), "w") as f:
+    with open(
+        os.path.join(REPO, "BENCH", f"endurance{suffix}.md"), "w"
+    ) as f:
         f.write(md)
     print(json.dumps({k: v for k, v in report.items() if k != "batches"}))
     spark.stop()
