@@ -745,6 +745,32 @@ class LakeTable:
         shutil.rmtree(d, ignore_errors=True)
         return True
 
+    def branch_diff(
+        self, name: str, include_preimages: bool = False
+    ) -> DataFrame:
+        """The AUDIT step of write-audit-publish: exactly the change
+        set ``publish_branch(name)`` would apply to main, as a change
+        feed (insert / update_postimage / delete rows; preimages on
+        request). Ancestry-checked like publish — a diverged main
+        raises CommitConflict instead of returning a misleading diff."""
+        bh = self._head_version(name)
+        if bh is None:
+            raise ValueError(f"no branch {name!r}")
+        mh = self._head_version("main")
+        if mh is None:
+            mh = self._latest_version()
+        v: int | None = bh
+        while v is not None and v != mh and v > mh:
+            v = self.snapshot(v).get("parent")
+        if v != mh:
+            raise CommitConflict(
+                f"main advanced past branch {name!r}'s fork point; "
+                "the diff against v{mh} would be misleading — re-fork"
+            )
+        return self.read_changes(
+            mh, bh, include_preimages=include_preimages
+        )
+
     def publish_branch(
         self, name: str, drop: bool = False, max_retries: int = 8
     ) -> int:
@@ -2176,6 +2202,23 @@ class LakeTable:
                 self._mark_batch_applied(batch_id)
                 return True
         raise CommitConflict(f"lost 8 CAS races dropping {col} ({batch_id})")
+
+    def to_view(
+        self,
+        name: str,
+        version: int | None = None,
+        ref: str | None = None,
+        user_cols: bool = True,
+    ) -> None:
+        """Register the RESOLVED snapshot as a Spark temp view so
+        ``spark.sql`` queries the lake table directly (merge-on-read
+        deltas resolved; ``user_cols=True`` hides tombstones and engine
+        columns, False exposes the raw engine shape). Re-register after
+        commits to see newer snapshots — the view pins the plan's
+        snapshot like any read."""
+        self.read(
+            version=version, ref=ref, user_cols=user_cols
+        ).createOrReplaceTempView(name)
 
     def history(self, limit: int | None = None) -> DataFrame:
         """Commit history as a DataFrame (version, parent, batch_id,

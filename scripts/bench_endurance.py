@@ -82,6 +82,71 @@ def _jvm_children(pid: int) -> list[int]:
     return out
 
 
+def _patch_probe(spark, lake, _patchify, derive_binlog_columns) -> dict:
+    """Per-key oracle probe for PATCH runs: regenerate the sampled
+    convs' full event histories and cell-fold them with an INDEPENDENT
+    python fold — distributed per key via applyInPandas (a hot conv can
+    carry 10^7+ events; collecting raw rows blew the driver's
+    maxResultSize on the first 512M run), collecting only the ~10^2
+    folded rows."""
+    from pyspark.sql import functions as F
+
+    some = [
+        r["conv_id"]
+        for r in lake.read(user_cols=True).select("conv_id")
+        .distinct().orderBy("conv_id").limit(3).collect()
+    ]
+    evs = _patchify(derive_binlog_columns(
+        spark.range(0, TOTAL, 1, 256), TOTAL, seed=SEED,
+        n_convs=N_CONVS, max_turns=50, hot_share=0.2,
+    )).filter(F.col("conv_id").isin(some))
+
+    def _fold(pdf):
+        import pandas as pd
+
+        d = pdf.loc[pdf["op"] == "D", "lsn"].max()
+        d = -1 if pd.isna(d) else int(d)
+        live = pdf[(pdf["op"] != "D") & (pdf["lsn"] > d)]
+        if live.empty:
+            return pd.DataFrame(
+                columns=["conv_id", "turn_idx", "role", "text", "tool"]
+            )
+        out = {"conv_id": pdf["conv_id"].iloc[0],
+               "turn_idx": pdf["turn_idx"].iloc[0]}
+        for c in ("role", "text", "tool"):
+            w = live[(live["op"] == "I") | live[c].notna()]
+            if w.empty:
+                out[c] = None
+            else:
+                top = w.sort_values(["ts", "lsn"]).iloc[-1]
+                out[c] = top[c] if pd.notna(top[c]) else None
+        return pd.DataFrame([out])
+
+    want_rows = evs.groupBy("conv_id", "turn_idx").applyInPandas(
+        _fold,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string",
+    ).collect()
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in want_rows
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in lake.read(user_cols=True)
+        .filter(F.col("conv_id").isin(some)).collect()
+    }
+    return {
+        "convs": some,
+        "keys": len(want),
+        "match": got == want,
+        "mismatches": (
+            [] if got == want else
+            sorted(set(got.items()) ^ set(want.items()))[:6]
+        ),
+    }
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_MASTER", "local-cluster[4,2,8192]")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
@@ -199,45 +264,13 @@ def main() -> None:
         # generator, python cell-LWW fold vs the lake's resolved rows
         from pyspark.sql import functions as F
 
-        some = [
-            r["conv_id"]
-            for r in lake.read(user_cols=True).select("conv_id")
-            .distinct().orderBy("conv_id").limit(3).collect()
-        ]
-        evs = _patchify(derive_binlog_columns(
-            spark.range(0, TOTAL, 1, 256), TOTAL, seed=SEED,
-            n_convs=N_CONVS, max_turns=50, hot_share=0.2,
-        )).filter(F.col("conv_id").isin(some)).collect()
-        by_key: dict = {}
-        for e in evs:
-            by_key.setdefault((e["conv_id"], e["turn_idx"]), []).append(e)
-        want = {}
-        for k, es in by_key.items():
-            d = max((e["lsn"] for e in es if e["op"] == "D"), default=-1)
-            live = [e for e in es if e["op"] != "D" and e["lsn"] > d]
-            if not live:
-                continue
-            vals = []
-            for c in ("role", "text", "tool"):
-                w = [e for e in live if e["op"] == "I" or e[c] is not None]
-                vals.append(
-                    max(w, key=lambda e: (e["ts"], e["lsn"]))[c]
-                    if w else None
-                )
-            want[k] = tuple(vals)
-        got = {
-            (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
-            for r in lake.read(user_cols=True)
-            .filter(F.col("conv_id").isin(some)).collect()
-        }
-        patch_probe = {
-            "convs": some,
-            "keys": len(want),
-            "events_folded": len(evs),
-            "match": got == want,
-        }
+        patch_probe = _patch_probe(
+            spark, lake, _patchify, derive_binlog_columns
+        )
         print(json.dumps({"patch_probe": patch_probe}), flush=True)
-        assert got == want, "patched endurance state != python cell oracle"
+        assert patch_probe["match"], (
+            "patched endurance state != python cell oracle"
+        )
     apply_secs = [b["apply_sec"] for b in batches]
     meta_all = [b["commit"].get("meta_sec") for b in batches
                 if b["commit"].get("meta_sec") is not None]

@@ -289,3 +289,50 @@ def test_streaming_wap_views_rejected(spark, tmp_path):
             spark, str(tmp_path / "wal"), lake, str(tmp_path / "ck"),
             ref="b", views=[("x",)],
         )
+
+
+def test_branch_diff_is_the_publish_change_set(spark, tmp_path):
+    """branch_diff = the audit step: exactly what publish would apply
+    (insert/update_postimage/delete), ancestry-checked."""
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [
+        _row(1, "keep", "same"), _row(2, "upd", "old"),
+        _row(3, "gone", "x"),
+    ]), "b0", assume_all_buckets=True)
+    lake.create_branch("a")
+    apply_batch(lake, _ev(spark, [
+        _row(4, "upd", "new", ts="2024-01-01 00:00:02"),
+        _row(5, "fresh", "ins"),
+        (6, "D", "gone", 0, None, None, None, "2024-01-01 00:00:03"),
+    ]), "b1", merge_mode="read", ref="a")
+    d = {
+        (r["conv_id"], r["_change_type"])
+        for r in lake.branch_diff("a").collect()
+    }
+    assert d == {
+        ("upd", "update_postimage"), ("fresh", "insert"),
+        ("gone", "delete"),
+    }
+    # diverged main -> the diff refuses (it would mislead the audit)
+    apply_batch(lake, _ev(spark, [_row(7, "m", "x")]), "b2",
+                merge_mode="read")
+    with pytest.raises(CommitConflict):
+        lake.branch_diff("a")
+
+
+def test_to_view_sql_over_resolved_state(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    apply_batch(lake, _ev(spark, [
+        _row(1, "c1", "alpha"), _row(2, "c2", "beta"),
+        (3, "D", "c2", 0, None, None, None, "2024-01-01 00:00:02"),
+    ]), "b0", assume_all_buckets=True)
+    apply_batch(lake, _ev(spark, [_row(4, "c3", "gamma")]), "b1",
+                merge_mode="read")
+    lake.to_view("transcripts_v")
+    got = {
+        r["conv_id"]: r["text"]
+        for r in spark.sql(
+            "SELECT conv_id, text FROM transcripts_v ORDER BY conv_id"
+        ).collect()
+    }
+    assert got == {"c1": "alpha", "c3": "gamma"}  # deltas resolved, D hidden
