@@ -2417,6 +2417,61 @@ class LakeTable:
             "version": m["version"],
         }
 
+    def delete_where(
+        self,
+        condition,
+        batch_id: str,
+        ref: str = "main",
+    ) -> dict[str, Any]:
+        """Predicate-based PHYSICAL erasure (the GDPR/DELETE-WHERE
+        maintenance surface, Delta's ``DELETE FROM`` analog): live rows
+        matching ``condition`` (a SQL string or Column over the user
+        schema) are removed by rewriting ONLY the buckets that hold
+        them — resolved content minus the matches, pending deltas
+        folded, retained tombstones kept. Discovery is one job (match
+        count + touched-bucket set); untouched buckets carry their
+        pointers forward.
+
+        This is erasure, NOT a CDC delete: no tombstone is written for
+        the erased keys (minting tombstone lsns out of band would
+        collide with the producer's lsn space), so a LATE change event
+        for an erased key re-inserts it — the correct reading of
+        "erase current data" for a table whose history is governed by
+        snapshot expiry. Full physical erasure completes when
+        ``expire_snapshots`` retires the pre-delete snapshots (and any
+        branch chains referencing them). Idempotent on batch_id;
+        CAS-protected like every replace (concurrent writers to the
+        affected buckets conflict; disjoint writers rebase)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self.snapshot(ref=ref)
+        if self._batch_applied(snap, batch_id):
+            return {"applied": False, "reason": "duplicate batch_id"}
+        st = self.read(version=snap["version"])
+        match = cond & ~F.col(DELETED_COL)
+        agg = st.agg(
+            F.sum(match.cast("long")).alias("n"),
+            F.collect_set(F.when(match, F.col(BUCKET_COL))).alias("bks"),
+        ).collect()[0]
+        n = int(agg["n"] or 0)
+        if n == 0:
+            return {"applied": False, "rows_deleted": 0, "buckets": []}
+        affected = sorted(int(b) for b in agg["bks"] if b is not None)
+        content = self.read(
+            version=snap["version"], buckets=affected
+        ).filter(~(cond & ~F.col(DELETED_COL)))
+        ok = self.commit(
+            content,
+            affected,
+            batch_id,
+            metrics={"delete_where": n, "buckets": len(affected)},
+            base_version=snap["version"],
+            # content is a fully-resolved read at snap: folded shard
+            # generations must not re-apply to these buckets
+            delta_floor=snap["version"],
+            ref=ref,
+        )
+        return {"applied": ok, "rows_deleted": n, "buckets": affected}
+
     def rescale_buckets(
         self, new_n_buckets: int, batch_id: str
     ) -> dict[str, Any]:
