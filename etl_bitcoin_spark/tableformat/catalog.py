@@ -280,6 +280,64 @@ class LakeCatalog:
             f"lost {max_retries} CAS races publishing catalog batch {batch_id}"
         )
 
+    def publish_branches(
+        self,
+        branches: dict[str, str],
+        batch_id: str,
+        drop: bool = False,
+        max_retries: int = 8,
+    ) -> bool:
+        """Catalog-atomic multi-table WRITE-AUDIT-PUBLISH: fast-forward
+        each table's branch onto its main head, then pin every
+        published version in ONE catalog CAS. Catalog readers resolve
+        PINS, so visibility of the whole staged batch flips at the
+        catalog publish — all tables or none — even though the
+        per-table head swaps happen first. ``branches``: table name ->
+        branch name (stage with ``commit_multi`` passing
+        ``\"ref\": <branch>`` in each table's write kwargs, or any
+        per-table ``apply_batch(..., ref=...)``).
+
+        Crash between the table publishes and the catalog CAS: pins
+        still reference the old versions (catalog readers unaffected);
+        re-running with the same batch_id resumes — an
+        already-fast-forwarded branch publish is a no-op returning its
+        head (lake.publish_branch's ancestor check), and the catalog
+        CAS then completes. A table whose main truly diverged raises
+        CommitConflict before any pin moves."""
+        cat = self.snapshot()
+        if self._batch_applied(cat, batch_id):
+            return False
+        ours: dict[str, int] = {}
+        for name, br in branches.items():
+            ours[name] = self.table(name).publish_branch(br, drop=False)
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if self._batch_applied(cur, batch_id):
+                return False
+            pinned = dict(cur["tables"])
+            for name, v in ours.items():
+                pinned[name] = max(v, pinned.get(name, 0))
+            manifest = {
+                "version": cur["version"] + 1,
+                "parent": cur["version"],
+                "batch_id": batch_id,
+                "applied_batch_ids": (
+                    cur["applied_batch_ids"] + [batch_id]
+                )[-256:],
+                "committed_at": time.time(),
+                "tables": pinned,
+            }
+            if self._claim(manifest):
+                self._mark_batch_applied(batch_id)
+                if drop:
+                    for name, br in branches.items():
+                        self.table(name).drop_branch(br)
+                return True
+        raise CommitConflict(
+            f"lost {max_retries} CAS races publishing catalog branches "
+            f"{batch_id}"
+        )
+
     @staticmethod
     def _version_for_batch(table: LakeTable, batch_id: str) -> int | None:
         for v in reversed(table.versions()):

@@ -795,6 +795,19 @@ class LakeTable:
                 if drop:
                     self.drop_branch(name)
                 return bh
+            if bh < mh:
+                # already-published resume path (a caller re-running
+                # after a crash between this publish and its own
+                # bookkeeping, e.g. a multi-table catalog publish): if
+                # the branch head sits in main's history the publish
+                # is a completed no-op; otherwise main truly diverged.
+                v2: int | None = mh
+                while v2 is not None and v2 > bh:
+                    v2 = self.snapshot(v2).get("parent")
+                if v2 == bh:
+                    if drop:
+                        self.drop_branch(name)
+                    return bh
             v: int | None = bh
             while v is not None and v != mh and v > mh:
                 v = self.snapshot(v).get("parent")

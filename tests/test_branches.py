@@ -336,3 +336,64 @@ def test_to_view_sql_over_resolved_state(spark, tmp_path):
         ).collect()
     }
     assert got == {"c1": "alpha", "c3": "gamma"}  # deltas resolved, D hidden
+
+
+def test_catalog_multi_table_wap(spark, tmp_path):
+    """Catalog-atomic WAP: stage a batch across two tables on branches
+    (commit_multi with per-table ref), audit, then publish_branches —
+    catalog readers flip from old pins to new pins in ONE catalog CAS;
+    re-running the publish with the same batch_id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_bitcoin_spark.operators.merge import TRANSCRIPTS_DDL
+    from etl_bitcoin_spark.tableformat.catalog import LakeCatalog
+    from etl_bitcoin_spark.tableformat.lake import BUCKET_COL
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    for t in ("a", "b"):
+        cat.create_table(t, TRANSCRIPTS_DDL, KEY_COLS, n_buckets=4)
+        cat.table(t).create_branch("stage")
+
+    def content(conv, text):
+        return (
+            _ev(spark, [_row(1, conv, text)])
+            .select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts",
+                F.col("lsn").alias("__lsn"),
+                F.lit(False).alias("__deleted"),
+            )
+            .withColumn(
+                BUCKET_COL,
+                cat.table("a").bucket_expr(4, KEY_COLS),
+            )
+        )
+
+    ok = cat.commit_multi(
+        {
+            "a": {"new_content": content("ca", "xa"),
+                  "replaced_buckets": [], "mode": "append",
+                  "ref": "stage"},
+            "b": {"new_content": content("cb", "xb"),
+                  "replaced_buckets": [], "mode": "append",
+                  "ref": "stage"},
+        },
+        "wap-stage-1",
+    )
+    assert ok
+    # staged rows invisible through the catalog AND through main heads
+    assert cat.read("a", user_cols=True).count() == 0
+    assert cat.table("a").read(user_cols=True).count() == 0
+    assert cat.table("a").read(user_cols=True, ref="stage").count() == 1
+    # audit each table's diff, then publish all-or-nothing
+    d = cat.table("b").branch_diff("stage").collect()
+    assert {r["_change_type"] for r in d} == {"insert"}
+    assert cat.publish_branches(
+        {"a": "stage", "b": "stage"}, "wap-pub-1", drop=True
+    )
+    assert cat.read("a", user_cols=True).count() == 1
+    assert cat.read("b", user_cols=True).count() == 1
+    assert cat.table("a").branches() == {}
+    # idempotent resume: same batch_id no-ops
+    assert cat.publish_branches(
+        {"a": "stage", "b": "stage"}, "wap-pub-1"
+    ) is False
