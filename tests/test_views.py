@@ -636,3 +636,45 @@ def test_delete_heavy_tick_switches_to_single_recompute_plan(spark, tmp_path):
         .select("role", "n_turns", "n_convs").collect()
     }
     assert got == want
+
+
+def test_view_over_patched_upstream(spark, tmp_path):
+    """Composition: incremental views over a CELL-LWW upstream. Partial
+    images (a U carrying only text, a U carrying only role) fold into
+    the upstream state; the change feed emits FOLDED rows, so algebraic
+    maintenance must equal full recompute after every tick — including
+    a group MOVE caused by a role-only patch."""
+    up = LakeTable.create(
+        spark, str(tmp_path / "pup"), TRANSCRIPTS_DDL, KEY_COLS, 4,
+        patch_cols=["role", "text", "tool"],
+    )
+    down = create_view_table(
+        spark, str(tmp_path / "proles"), ROLE_SPEC, n_buckets=2
+    )
+    apply_batch(up, _ev(spark, [
+        (0, "I", "c0", 0, "user", "aa"),
+        (1, "I", "c0", 1, "assistant", "bbb"),
+    ]), "b0", lsn_range_hint=(0, 1))
+    assert refresh_view(up, down, ROLE_SPEC)["applied"]
+    assert _state(down) == _full(ROLE_SPEC, up)
+
+    # text-only patch: role inherited, chars change in place
+    apply_batch(up, _ev(spark, [
+        (10, "U", "c0", 0, None, "aaaa"),
+    ]), "b1", lsn_range_hint=(10, 10), merge_mode="read")
+    assert refresh_view(up, down, ROLE_SPEC)["applied"]
+    st = _state(down)
+    assert st == _full(ROLE_SPEC, up)
+    assert st[("user",)][1] == 4  # folded text, inherited role
+
+    # role-only patch: the row MOVES groups while text is inherited
+    apply_batch(up, _ev(spark, [
+        (20, "U", "c0", 0, "assistant", None),
+    ]), "b2", lsn_range_hint=(20, 20), merge_mode="read",
+        delta_plan="raw")
+    assert refresh_view(up, down, ROLE_SPEC)["applied"]
+    st = _state(down)
+    assert st == _full(ROLE_SPEC, up)
+    assert ("user",) not in st
+    assert st[("assistant",)][0] == 2
+    assert st[("assistant",)][1] == 3 + 4  # both folded texts
