@@ -803,7 +803,13 @@ class LakeTable:
                 # is a completed no-op; otherwise main truly diverged.
                 v2: int | None = mh
                 while v2 is not None and v2 > bh:
-                    v2 = self.snapshot(v2).get("parent")
+                    try:
+                        v2 = self.snapshot(v2).get("parent")
+                    except FileNotFoundError:
+                        # main's chain is expired below here — ancestry
+                        # cannot be confirmed; fall through to the
+                        # diverged check (bh < mh there raises)
+                        v2 = None
                 if v2 == bh:
                     if drop:
                         self.drop_branch(name)
