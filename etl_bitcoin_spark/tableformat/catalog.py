@@ -338,6 +338,35 @@ class LakeCatalog:
             f"{batch_id}"
         )
 
+    def verify(self, deep: bool = False) -> dict[str, Any]:
+        """Catalog fsck: every pin must reference an existing snapshot
+        of its table, and each member table passes its own ``verify``
+        (manifest tree, file existence, lineage; ``deep`` adds the
+        parquet footer audit). Returns one aggregated report."""
+        cat = self.snapshot()
+        errors: list[str] = []
+        per_table: dict[str, dict[str, Any]] = {}
+        files = 0
+        for name, pinned_v in cat["tables"].items():
+            t = self.table(name)
+            if pinned_v not in t.versions():
+                errors.append(
+                    f"table {name}: pinned v{pinned_v} has no snapshot"
+                )
+                continue
+            # audit the PINNED snapshot — the one catalog readers see
+            rep = t.verify(version=pinned_v, deep=deep)
+            per_table[name] = rep
+            files += rep["files_checked"]
+            errors.extend(f"table {name}: {e}" for e in rep["errors"])
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "files_checked": files,
+            "tables": per_table,
+            "catalog_version": cat["version"],
+        }
+
     @staticmethod
     def _version_for_batch(table: LakeTable, batch_id: str) -> int | None:
         for v in reversed(table.versions()):

@@ -107,3 +107,38 @@ def test_verify_deep_detects_row_count_drift(spark, tmp_path):
     assert not deep["ok"]
     assert any("physical base rows" in e or "footer lsn" in e
                for e in deep["errors"])
+
+
+def test_catalog_verify(spark, tmp_path):
+    """Catalog fsck aggregates per-table verify at the PINNED versions
+    and flags pins referencing expired snapshots."""
+    import os
+
+    from etl_bitcoin_spark.operators.merge import TRANSCRIPTS_DDL
+    from etl_bitcoin_spark.tableformat.catalog import LakeCatalog
+    from etl_bitcoin_spark.tableformat.lake import BUCKET_COL
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.create_table("t1", TRANSCRIPTS_DDL, KEY_COLS, n_buckets=4)
+    content = (
+        _ev(spark, [(1, "I", "c1", 0, "user", "x", None,
+                     "2024-01-01 00:00:01")])
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts",
+                F.col("lsn").alias("__lsn"),
+                F.lit(False).alias("__deleted"))
+        .withColumn(BUCKET_COL, cat.table("t1").bucket_expr(4, KEY_COLS))
+    )
+    cat.commit_multi(
+        {"t1": {"new_content": content, "replaced_buckets": [],
+                "mode": "append"}}, "b1",
+    )
+    rep = cat.verify(deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["tables"]["t1"]["ok"]
+    # break a pinned file -> the catalog report carries the finding
+    f = cat.table("t1").files().toPandas()
+    os.remove(os.path.join(cat.table("t1").root, f["path"].iloc[0]))
+    rep2 = cat.verify()
+    assert not rep2["ok"]
+    assert any("t1" in e and "missing file" in e for e in rep2["errors"])
