@@ -38,6 +38,18 @@ def _cos(a: str, b: str):
     )
 
 
+def _norm(vec_col: str):
+    """sqrt(v.v) — attached per ROW before a join so each side's norm
+    is computed once, not once per candidate pair (r7, guide §1.2).
+    cos = dot/(na*nb) is bit-identical to the fused _cos form: the
+    same fold over the same values, merely factored out."""
+    return F.sqrt(F.expr(DOT.format(a=vec_col, b=vec_col)))
+
+
+def _cos_pre(a: str, b: str, na: str, nb: str):
+    return F.expr(DOT.format(a=a, b=b)) / (F.col(na) * F.col(nb))
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -46,13 +58,17 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        _norm(vec_col).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        _norm(vec_col).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", _cos("qv", "cv"))
+        .withColumn("cos", _cos_pre("qv", "cv", "qn", "cn"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -155,11 +171,17 @@ def lsh_topk(
     if probe_budget is not None and not 1 <= probe_budget <= max_budget:
         raise ValueError(f"probe_budget must be in [1, {max_budget}]")
     c = rhp_signature(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+            _norm(vec_col).alias("cn"),
+        ),
         dim, n_bits, seed, "cv",
     )
     q = rhp_signature(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+            _norm(vec_col).alias("qn"),
+        ),
         dim, n_bits, seed, "qv",
         margins_col="__m" if probe_budget is not None else None,
     )
@@ -206,7 +228,7 @@ def lsh_topk(
             ])),
         )
     cand = c.join(F.broadcast(q), "sig").filter(F.col("qid") != F.col("cid"))
-    scored = cand.withColumn("cos", _cos("qv", "cv"))
+    scored = cand.withColumn("cos", _cos_pre("qv", "cv", "qn", "cn"))
     if round_to is not None:
         scored = scored.withColumn("cos", F.round("cos", round_to))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
@@ -242,9 +264,13 @@ def ivf_topk(
         .limit(n_centroids)
     )
 
-    def assign(df, idc, vc, keep_n):
+    cents = cents.withColumn("cent_n", _norm("cent"))
+
+    def assign(df, idc, vc, nc, keep_n):
+        # both norms precomputed: the row's once per ROW (not per
+        # centroid), the centroid's once per centroid (r7)
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cent_cos", _cos(vc, "cent")
+            "cent_cos", _cos_pre(vc, "cent", nc, "cent_n")
         )
         w = Window.partitionBy(idc).orderBy(
             F.col("cent_cos").desc(), F.col("cent_id")
@@ -252,19 +278,25 @@ def ivf_topk(
         return (
             scored.withColumn("crk", F.row_number().over(w))
             .filter(F.col("crk") <= keep_n)
-            .drop("cent", "cent_cos", "crk")
+            .drop("cent", "cent_n", "cent_cos", "crk")
         )
 
     c = assign(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
-        "cid", "cv", 1,
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+            _norm(vec_col).alias("cn"),
+        ),
+        "cid", "cv", "cn", 1,
     )
     q = assign(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
-        "qid", "qv", nprobe,
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+            _norm(vec_col).alias("qn"),
+        ),
+        "qid", "qv", "qn", nprobe,
     )
     cand = c.join(F.broadcast(q), "cent_id").filter(F.col("qid") != F.col("cid"))
-    scored = cand.withColumn("cos", _cos("qv", "cv"))
+    scored = cand.withColumn("cos", _cos_pre("qv", "cv", "qn", "cn"))
     if round_to is not None:
         scored = scored.withColumn("cos", F.round("cos", round_to))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.merge import lww_batch_summary
+KEY_COLS_Q = ["conv_id", "turn_idx"]
 
 # Shared derivation --------------------------------------------------------
 _BINLOG_SQL = """
@@ -56,17 +56,47 @@ def derived_binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _last_deletes(binlog: DataFrame) -> DataFrame:
+    """Per-key last-tombstone lsn — the tiny side of the two-phase LWW
+    aggregate (only keys that saw a D appear)."""
+    return (
+        binlog.filter(F.col("op") == "D")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max("lsn").alias("d_lsn"))
+    )
+
+
 def _winners(binlog: DataFrame) -> DataFrame:
-    """Converged final state via the engine's LWW summary operator."""
-    s = lww_batch_summary(binlog)
-    return s.filter(F.col("win_lsn").isNotNull()).select(
+    """Converged final state — the TWO-PHASE HASH-AGGREGATE form of the
+    LWW fold (optimization round 7, guide §2.3 "aggregate before you
+    shuffle"): tombstone maxima aggregate first (map-side combine, only
+    D rows), join back (AQE broadcasts the aggregated D side when small)
+    and the winner per key is one ``max_by(payload, (ts, lsn))`` hash
+    aggregate with map-side partial combine. Identical algebra to the
+    window formulation (``lww_batch_summary`` + win_lsn filter): the
+    (ts, lsn) struct comparison IS the window's (ts desc, lsn desc)
+    ranking (lsn unique; null ts sorts lowest in both), and D-filtered
+    rows with lsn > last-delete are exactly the window's ``live`` class.
+    Vs the window form this removes the full-width sort and, at the
+    derived binlog's ~40 events/key, collapses the shuffle to ~one row
+    per key per task — oracle-gated hash-exact (cdc_lww_apply)."""
+    d = _last_deletes(binlog)
+    live = (
+        binlog.filter(F.col("op") != "D")
+        .join(d, KEY_COLS_Q, "left")
+        .filter(F.col("lsn") > F.coalesce(F.col("d_lsn"), F.lit(-1)))
+    )
+    payload = F.struct("role", "text", "tool", "ts", "lsn")
+    order = F.struct("ts", "lsn")
+    w = live.groupBy(*KEY_COLS_Q).agg(F.max_by(payload, order).alias("w"))
+    return w.select(
         "conv_id",
         "turn_idx",
-        F.col("win_role").alias("role"),
-        F.col("win_text").alias("text"),
-        F.col("win_tool").alias("tool"),
-        F.date_format(F.col("win_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-        F.col("win_lsn").alias("win_lsn"),
+        F.col("w.role").alias("role"),
+        F.col("w.text").alias("text"),
+        F.col("w.tool").alias("tool"),
+        F.date_format(F.col("w.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("w.lsn").alias("win_lsn"),
     )
 
 
@@ -287,10 +317,19 @@ def q_cdc_delete_reinsert(spark, sf_dir):
     to end: raw rows, batch-folded summaries, and compacted base all
     carry cell provenance and must fold to the full-history answer."""
     b = derived_binlog(spark, sf_dir)
-    s = lww_batch_summary(b)
-    resurrect = s.filter(
-        F.col("d_lsn").isNotNull() & F.col("win_lsn").isNotNull()
-    ).select(
+    # same two-phase hash-aggregate shape as _winners, with an INNER
+    # join on the tombstone side: resurrect keys are exactly those with
+    # a delete AND a surviving post-delete winner
+    d = _last_deletes(b)
+    live = (
+        b.filter(F.col("op") != "D")
+        .join(d, KEY_COLS_Q, "inner")
+        .filter(F.col("lsn") > F.col("d_lsn"))
+    )
+    s = live.groupBy(*KEY_COLS_Q, "d_lsn").agg(
+        F.max_by(F.col("lsn"), F.struct("ts", "lsn")).alias("win_lsn")
+    )
+    resurrect = s.select(
         F.lit("resurrect").alias("tag"),
         "conv_id",
         "turn_idx",

