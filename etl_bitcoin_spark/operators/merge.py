@@ -591,7 +591,7 @@ def apply_batch(
     itself is CAS-protected: disjoint-bucket writers rebase, overlapping
     writers get CommitConflict and must recompute.
     """
-    if delta_plan not in ("summary", "raw"):
+    if delta_plan not in ("summary", "raw", "raw-scan"):
         raise ValueError(f"unknown delta_plan {delta_plan!r}")
     snap = lake.snapshot(ref=ref)
     if lake._batch_applied(snap, batch_id):
@@ -615,7 +615,7 @@ def apply_batch(
         # ranges, so everything at or below the HWM is a duplicate.
         ev = ev.filter(F.col("lsn") > F.lit(hwm))
 
-    if merge_mode == "read" and delta_plan == "raw":
+    if merge_mode == "read" and delta_plan in ("raw", "raw-scan"):
         # Sub-second fast path: NO sort, NO resolution window — the
         # guarded batch appends AS the delta (see docstring). One
         # sort-free exchange into K = one even WAVE of tasks (cluster
@@ -631,13 +631,27 @@ def apply_batch(
         # The multiplicity sketch (approx nk) rides the write so the
         # tailer's sticky signal flips a storm back to the summary
         # plan; exact lineage comes from the staged files themselves.
+        # "raw-scan" (r7, guide §2.4 — remove shuffles outright): the
+        # bulk-BACKFILL variant drops the exchange entirely; each SCAN
+        # task writes its own file, registered as a shard_mod=1
+        # generation (every bucket's rows may appear in every file —
+        # row-level bucket derivation keeps reads exact, as with any
+        # shared delta file). Right when the deltas are about to be
+        # folded anyway (replay's final merge-on-write batch): zero
+        # shuffles moved per append, file count = input splits. The
+        # sharded "raw" layout stays the STREAMING default — its K-file
+        # bound and residue membership serve read-amp and point
+        # lookups between compactions, worth one sort-free exchange.
         from pyspark.sql import Observation
 
-        width = max(1, int(lake.spark.sparkContext.defaultParallelism))
-        cap = min(width, n_buckets)
-        shard_k = next(
-            (d for d in range(cap, 0, -1) if n_buckets % d == 0), 1
-        )
+        if delta_plan == "raw-scan":
+            shard_k = 1
+        else:
+            width = max(1, int(lake.spark.sparkContext.defaultParallelism))
+            cap = min(width, n_buckets)
+            shard_k = next(
+                (d for d in range(cap, 0, -1) if n_buckets % d == 0), 1
+            )
         obs = Observation()
         content = (
             events_as_rows(ev, patch_cols)
@@ -650,7 +664,9 @@ def apply_batch(
                 ).alias("nk"),
             )
         )
-        if shard_k > 1:
+        if delta_plan == "raw-scan":
+            pass  # no exchange: scan partitions write as-is
+        elif shard_k > 1:
             # K | n_buckets: partitions ARE the shards (see comment)
             content = content.repartition(shard_k, *KEY_COLS)
         else:
@@ -664,7 +680,7 @@ def apply_batch(
         out: dict[str, Any] = {}
 
         def _lineage(staged_files):
-            out["delta_plan"] = "raw"
+            out["delta_plan"] = delta_plan
             if not staged_files:
                 # Fully-duplicate batch: nothing staged. Don't touch the
                 # Observation — a foreachBatch plan that collapses to an
@@ -712,7 +728,10 @@ def apply_batch(
             metrics={"merge_mode": "read", "delta_plan": "raw"},
             mode="delta",
             lineage_fn=_lineage,
-            shard_mod=shard_k if shard_k > 1 else None,
+            shard_mod=(
+                1 if delta_plan == "raw-scan"
+                else (shard_k if shard_k > 1 else None)
+            ),
             compression="zstd",
             key_bloom=key_bloom,
             ref=ref,
@@ -806,7 +825,16 @@ def apply_batch(
 
         obs = Observation()
         affected = list(range(n_buckets))
-        stored = lake.read(version=snap["version"], buckets=affected)
+        # UNRESOLVED stored read (r7, guide §2.4): pending merge-on-read
+        # deltas fold inside THIS merge's single resolution window —
+        # the same LWW algebra read() would apply, minus its nested
+        # exchange+sort (resolved-then-merge paid two full sorts when
+        # deltas existed; delta-free tables read identically either
+        # way). delta_floor below retires the folded generations.
+        stored = lake.read(
+            version=snap["version"], buckets=affected,
+            resolve_deltas=False,
+        )
         merged = merge_batch_direct(
             stored, ev, n_buckets, lsn_stats=obs, patch_cols=patch_cols
         ).withColumn(BUCKET_COL, lake.bucket_expr(n_buckets, KEY_COLS))
@@ -941,7 +969,12 @@ def apply_batch(
             affected = sorted(rng["bks"])
         # Pin the stored read to the snapshot version the guard saw, so
         # commit's base_version check is exact under concurrent writers.
-        stored = lake.read(version=snap["version"], buckets=affected)
+        # Unresolved (r7): pending deltas of the affected buckets fold
+        # inside the merge resolution itself — see the fused path note.
+        stored = lake.read(
+            version=snap["version"], buckets=affected,
+            resolve_deltas=False,
+        )
         # merge_strategy: "window" (single-sort resolution, wins at ~1
         # event/key) vs "agg" (two-phase hash aggregate with map-side
         # combine, 1.9x faster under hot-key update storms — see
@@ -1043,12 +1076,36 @@ def replay(
     batch_lsn_width: int | None = None,
     batch_id_prefix: str = "replay",
     assume_all_buckets: bool = True,
+    batch_plan: str = "raw",
 ) -> list[dict[str, Any]]:
     """Batch replay of a whole binlog: split into ordered LSN-range
     micro-batches and apply each. ``batch_lsn_width=None`` applies the
     whole log as one batch (the fastest path for backfills — one pair of
-    shuffles total). Replay batches are bulk, so the all-buckets fast
-    path is the default here (streaming keeps selective pruning)."""
+    shuffles total).
+
+    ``batch_plan`` (multi-batch replays only) picks the per-batch
+    physical plan:
+
+    - ``"raw"`` (default since r7): every micro-batch but the LAST
+      appends as a RAW mod-shard delta (one sort-free exchange, K
+      shard files, no stored-state read); the last batch runs
+      merge-on-write, whose resolution window folds the pending raw
+      generations in the SAME single exchange+sort (apply_batch reads
+      stored state unresolved). Guide §2.4 applied to the backfill:
+      the old merge-on-write loop re-read and re-sorted the ENTIRE
+      stored state once per batch (4 batches over state S and events
+      E: ~4 sorts of (S+E/4) rows, 4 full-table writes); raw+final-
+      merge sorts the union exactly once and rewrites the table
+      exactly once. The final state is identical (read-time resolution
+      speaks the same LWW algebra — the cdc_lww_apply_mor gate pins
+      raw deltas + compaction against the DuckDB oracle hash-exact)
+      and is FULLY materialized before return: the final snapshot is
+      a resolved merge-on-write commit with no pending deltas.
+    - ``"write"``: the pre-r7 behavior — every batch is a
+      merge-on-write rewrite (each batch's commit is a complete,
+      resolved snapshot; the right choice when mid-replay snapshots
+      must be directly servable without resolution, e.g. the
+      time-travel/change-feed gates' ``_replay_lake_mow``)."""
     results = []
     if batch_lsn_width is None:
         return [
@@ -1057,6 +1114,8 @@ def replay(
                 assume_all_buckets=assume_all_buckets,
             )
         ]
+    if batch_plan not in ("raw", "write"):
+        raise ValueError(f"unknown batch_plan {batch_plan!r}")
     bounds = binlog.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     lo, hi = bounds[0], bounds[1]
     if lo is None:
@@ -1071,13 +1130,22 @@ def replay(
         chunk = binlog.filter(
             (F.col("lsn") >= start) & (F.col("lsn") <= end)
         )
-        results.append(
-            apply_batch(
+        if batch_plan == "raw" and end < hi:
+            r = apply_batch(
+                lake, chunk, f"{batch_id_prefix}-{i:06d}",
+                lsn_range_hint=(start, end),
+                merge_mode="read", delta_plan="raw-scan",
+            )
+        else:
+            # last window (or batch_plan="write"): merge-on-write —
+            # its resolution folds every pending raw generation, so
+            # the replay ends on a fully-resolved snapshot
+            r = apply_batch(
                 lake, chunk, f"{batch_id_prefix}-{i:06d}",
                 assume_all_buckets=assume_all_buckets,
                 lsn_range_hint=(start, end),
             )
-        )
+        results.append(r)
         start = end + 1
         i += 1
     return results

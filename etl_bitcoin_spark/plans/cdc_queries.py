@@ -217,8 +217,15 @@ def q_cdc_dedup_lsn(spark, sf_dir):
     collapse to exactly-once counts per op."""
     b = derived_binlog(spark, sf_dir)
     dup = b.unionByName(b)
+    # project to (lsn, op) BEFORE the dedup (r7, guide §2.3): duplicate
+    # deliveries are exact row copies, so op is functionally dependent
+    # on lsn and distinct (lsn, op) == dropDuplicates(["lsn"]) on the
+    # columns this query returns — but it compiles to a two-phase HASH
+    # aggregate with map-side combine (the old dropDuplicates carried
+    # first(<6 payload cols>) through a SortAggregate: two full sorts
+    # and 8-column shuffle rows for a 2-column answer).
     return (
-        dup.dropDuplicates(["lsn"])
+        dup.select("lsn", "op").distinct()
         .groupBy("op")
         .agg(F.count("*").alias("n"), F.min("lsn").alias("min_lsn"),
              F.max("lsn").alias("max_lsn"))

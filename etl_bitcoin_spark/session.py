@@ -77,6 +77,41 @@ def _warm_engine(spark) -> None:
             ).save()
         finally:
             shutil.rmtree(d, ignore_errors=True)
+        # Miniature end-to-end MERGE-ENGINE warm: a ~3k-event synthetic
+        # replay through a throwaway LakeTable exercises the engine's
+        # real plan shapes (raw mod-shard append, staged-island lineage,
+        # unresolved-read merge with shard-generation legs, bucket
+        # write, commit footer reads) so their whole-stage-codegen
+        # classes compile here, not inside the first production
+        # micro-batch. Same rationale as the generic warm above; a
+        # serving deployment replays a heartbeat batch at startup for
+        # exactly this reason. Synthetic rows only; the lake dir is
+        # deleted before returning.
+        from .operators.merge import KEY_COLS, TRANSCRIPTS_DDL, replay
+        from .tableformat.lake import LakeTable
+
+        mod = F.pmod(F.col("id"), F.lit(10))
+        ev = spark.range(1, 3001, 1, 8).select(
+            F.col("id").alias("lsn"),
+            F.when(mod == 0, "D").when(mod == 1, "I").otherwise("U")
+            .alias("op"),
+            F.concat(
+                F.lit("wconv_"), F.pmod(F.col("id"), F.lit(37)).cast("string")
+            ).alias("conv_id"),
+            F.pmod(F.col("id"), F.lit(25)).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("wt_"), F.col("id").cast("string")).alias("text"),
+            F.when(mod == 2, F.lit("tool_x")).alias("tool"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+        )
+        d = tempfile.mkdtemp(prefix="spark_warm_lake_")
+        try:
+            lake = LakeTable.create(
+                spark, d, TRANSCRIPTS_DDL, KEY_COLS, 64
+            )
+            replay(lake, ev, batch_lsn_width=1000, batch_id_prefix="warm")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     except Exception:
         pass  # warmup is best-effort; never fail session build
     finally:

@@ -3041,16 +3041,29 @@ class LakeTable:
         sort_cols = [BUCKET_COL, *m["key_cols"]] + (
             [m["stats_col"]] if m.get("stats_col") else []
         )
-        content = (
-            self.read(version=m["version"], buckets=victims)
-            # bucket-value partitioning -> ONE file per compacted
-            # bucket; in-task sort clusters it by key (then the
-            # declared stats_col) so row-group min/max stats serve
-            # later key- and secondary-predicate scans (see
-            # compact_files for the rationale)
-            .repartition(len(victims), F.col(BUCKET_COL))
-            .sortWithinPartitions(*sort_cols)
-        )
+        resolved = self.read(version=m["version"], buckets=victims)
+        if len(victims) == m["n_buckets"]:
+            # FULL-TABLE fold (r7, guide §2.4): partition by the KEY
+            # columns into n_buckets partitions — pmod(hash(keys), nb)
+            # IS the bucket id, so partition t holds exactly bucket t:
+            # one file per bucket with perfectly even tasks (hashing
+            # the bucket VALUE collides ~1/e of partitions empty), and
+            # when the resolution exchange upstream already hashes the
+            # keys at the same width the planner can reuse it outright.
+            content = resolved.repartition(
+                m["n_buckets"], *m["key_cols"]
+            ).sortWithinPartitions(*sort_cols)
+        else:
+            content = (
+                resolved
+                # bucket-value partitioning -> ONE file per compacted
+                # bucket; in-task sort clusters it by key (then the
+                # declared stats_col) so row-group min/max stats serve
+                # later key- and secondary-predicate scans (see
+                # compact_files for the rationale)
+                .repartition(len(victims), F.col(BUCKET_COL))
+                .sortWithinPartitions(*sort_cols)
+            )
         ok = self.commit(
             content,
             victims,
