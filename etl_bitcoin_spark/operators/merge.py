@@ -708,6 +708,22 @@ def apply_batch(
                 out["events"] = 0
                 out["multiplicity"] = 1.0
                 return None, None
+            if lsn_range_hint is not None:
+                # The caller OWNS the lsn window (replay's ordered
+                # full-width batches) — same trust, and the same
+                # dense-span events convention, as the hinted
+                # merge-on-write path has always used (events =
+                # hi-lo+1, so redelivered copies inside the window
+                # never inflate throughput accounting). Skips the
+                # staged-island pass entirely (r7: at 16M-row backfill
+                # batches that pass was a distributed distinct job per
+                # batch).
+                lo_h, hi_h = int(lsn_range_hint[0]), int(lsn_range_hint[1])
+                n = hi_h - lo_h + 1
+                out["events"] = n
+                out["multiplicity"] = (n / nk) if nk else 1.0
+                out["lsn_range"] = [lo_h, hi_h]
+                return lsn_range_hint, None
             islands = _staged_lsn_islands(
                 lake.spark, staged_files, n_rows
             )
@@ -715,8 +731,6 @@ def apply_batch(
             out["events"] = n
             out["multiplicity"] = (n / nk) if nk else 1.0
             out["lsn_range"] = [islands[0][0], islands[-1][1]]
-            if lsn_range_hint is not None:
-                return lsn_range_hint, None
             if len(islands) == 1:
                 return tuple(islands[0]), None
             return None, islands
@@ -725,7 +739,7 @@ def apply_batch(
             content,
             [],
             batch_id,
-            metrics={"merge_mode": "read", "delta_plan": "raw"},
+            metrics={"merge_mode": "read", "delta_plan": delta_plan},
             mode="delta",
             lineage_fn=_lineage,
             shard_mod=(

@@ -77,6 +77,49 @@ def _warm_engine(spark) -> None:
             ).save()
         finally:
             shutil.rmtree(d, ignore_errors=True)
+        # Dedup-pipeline shapes (explode → distinct → multi-min
+        # aggregate → two-column self-join → distinct → probe join,
+        # with one cached relation): the training-data dedup operators
+        # compile ~10 such stages on first use.
+        docs = spark.range(0, 300, 1, 4).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"w{j}_"),
+                           F.pmod(F.col("id") + j, F.lit(7)).cast("string"))
+                  for j in range(6)]
+            ).alias("text"),
+        )
+        sh = docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("shingle"),
+        ).distinct().cache()
+        hp = sh.select(
+            "doc_id",
+            (
+                F.expr("cast(conv(substr(md5(shingle),1,12),16,10) as bigint)")
+                % F.lit(2147483647)
+            ).alias("hp"),
+        )
+        sigs = hp.groupBy("doc_id").agg(
+            F.min((F.lit(2) * F.col("hp") + 1) % F.lit(2147483647)).alias("m0"),
+            F.min((F.lit(3) * F.col("hp") + 2) % F.lit(2147483647)).alias("m1"),
+            F.count("*").alias("sz"),
+        )
+        aa = sigs.select(F.col("doc_id").alias("da"), "m0", "m1")
+        bb = sigs.select(F.col("doc_id").alias("db"), "m0", "m1")
+        cand = (
+            aa.join(bb, ["m0", "m1"])
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db")
+            .distinct()
+        )
+        cand.join(
+            sh.select(F.col("doc_id").alias("da"), "shingle"), "da"
+        ).groupBy("da", "db").agg(F.count("*").alias("i")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sh.unpersist()
         # Miniature end-to-end MERGE-ENGINE warm: a ~3k-event synthetic
         # replay through a throwaway LakeTable exercises the engine's
         # real plan shapes (raw mod-shard append, staged-island lineage,
