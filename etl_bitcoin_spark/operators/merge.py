@@ -1144,7 +1144,12 @@ def replay(
         chunk = binlog.filter(
             (F.col("lsn") >= start) & (F.col("lsn") <= end)
         )
-        if batch_plan == "raw" and end < hi:
+        if batch_plan == "raw" and assume_all_buckets and end < hi:
+            # raw appends are the BULK shape: the final merge folds
+            # every generation because it rewrites every bucket. A
+            # selective replay (assume_all_buckets=False) would leave
+            # untouched buckets' generation rows pending, so it keeps
+            # the per-batch merge-on-write plan.
             r = apply_batch(
                 lake, chunk, f"{batch_id_prefix}-{i:06d}",
                 lsn_range_hint=(start, end),
