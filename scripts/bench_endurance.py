@@ -235,8 +235,15 @@ def main() -> None:
             # pass (8 deltas > 8 is false), so the first fold silently
             # slips a full window and the next one folds a double-size
             # window (observed: 256M-row fold -> executor OOM).
+            # ENDUR_COMPACT_BUCKETS caps each pass at the worst-N
+            # victim buckets (nibble mode): per-cycle compaction wall
+            # stays bounded as total state grows — the r6 endurance's
+            # named cost center (uncapped full-table folds grew
+            # 248→484 s with base size, 3,440 s of the 5,120 s wall).
+            _cb = os.environ.get("ENDUR_COMPACT_BUCKETS")
             c = lake.compact_deltas(
-                int(os.environ.get("ENDUR_COMPACT_DELTAS", "6"))
+                int(os.environ.get("ENDUR_COMPACT_DELTAS", "6")),
+                max_buckets=int(_cb) if _cb else None,
             )
             rec["compact_sec"] = round(time.time() - t0, 2)
             rec["compacted_buckets"] = c.get("buckets_compacted", 0)
