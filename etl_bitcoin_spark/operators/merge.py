@@ -1134,37 +1134,90 @@ def replay(
     lo, hi = bounds[0], bounds[1]
     if lo is None:
         return results
-    # Resume from the lake's HWM: already-applied windows are skipped
-    # outright (the analog of LastBlockNumber resume,
-    # reference database/csv/neo4j_csv/neo4j_csv.go:62-79).
-    start = max(lo, lake.hwm + 1)
-    i = 0
-    while start <= hi:
-        end = min(start + batch_lsn_width - 1, hi)
-        chunk = binlog.filter(
-            (F.col("lsn") >= start) & (F.col("lsn") <= end)
+    # The window grid is GLOBAL (numbered from the binlog's lo, not from
+    # the resume point) so a window's batch id is deterministic across
+    # crash-resume runs. The pre-r7 loop numbered from the resume point,
+    # so a resumed run re-used already-applied batch ids for DIFFERENT
+    # windows — the _batch_applied guard then absorbed a never-applied
+    # window as a "duplicate" (silent loss on resume). Resume now skips
+    # exactly the windows whose lsn span the manifest lineage already
+    # covers (islands included — a crashed CONCURRENT run below can
+    # leave covered windows above uncovered ones).
+    windows = []
+    s = lo
+    while s <= hi:
+        e = min(s + batch_lsn_width - 1, hi)
+        windows.append((s, e))
+        s = e + 1
+    applied = lake.lineage()["applied_ranges"]
+
+    def _covered(w):
+        return any(a <= w[0] and w[1] <= b for a, b in applied)
+
+    def _chunk(w):
+        return binlog.filter(
+            (F.col("lsn") >= w[0]) & (F.col("lsn") <= w[1])
         )
-        if batch_plan == "raw" and assume_all_buckets and end < hi:
-            # raw appends are the BULK shape: the final merge folds
-            # every generation because it rewrites every bucket. A
-            # selective replay (assume_all_buckets=False) would leave
-            # untouched buckets' generation rows pending, so it keeps
-            # the per-batch merge-on-write plan.
-            r = apply_batch(
-                lake, chunk, f"{batch_id_prefix}-{i:06d}",
-                lsn_range_hint=(start, end),
-                merge_mode="read", delta_plan="raw-scan",
-            )
-        else:
-            # last window (or batch_plan="write"): merge-on-write —
-            # its resolution folds every pending raw generation, so
-            # the replay ends on a fully-resolved snapshot
-            r = apply_batch(
-                lake, chunk, f"{batch_id_prefix}-{i:06d}",
+
+    raw_bulk = batch_plan == "raw" and assume_all_buckets
+    if raw_bulk and len(windows) > 1:
+        # Bulk backfill, raw appends first: every window but the LAST
+        # appends as a raw-scan delta; the final merge-on-write folds
+        # them (see docstring). The raw windows are INDEPENDENT —
+        # disjoint lsn spans, append-only delta commits that the commit
+        # protocol rebases against each other — so they are staged
+        # CONCURRENTLY from a small thread pool (guide §2.6: overlap
+        # independent jobs; each scan job here is a handful of tasks,
+        # so serial submission left most of the cluster idle between
+        # jobs). 2-3 in flight is enough to fill the tail without
+        # fighting for executors. The per-window hwm fast path is
+        # replaced by an identity guard: with concurrent commits a
+        # window could observe a HIGHER window's hwm and misclassify
+        # its own events as duplicates; exactly-once here is carried
+        # by the window grid (disjoint spans), the deterministic batch
+        # ids, and the atomic per-window commits instead.
+        todo = [
+            (i, w) for i, w in enumerate(windows[:-1]) if not _covered(w)
+        ]
+        slots: dict[int, dict] = {}
+        if todo:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _stage(iw):
+                i, w = iw
+                return i, apply_batch(
+                    lake, _chunk(w), f"{batch_id_prefix}-{i:06d}",
+                    already_applied_filter=lambda df: df,
+                    lsn_range_hint=w,
+                    merge_mode="read", delta_plan="raw-scan",
+                )
+
+            with ThreadPoolExecutor(
+                max_workers=min(3, len(todo))
+            ) as pool:
+                for i, r in pool.map(_stage, todo):
+                    slots[i] = r
+        results.extend(r for _, r in sorted(slots.items()))
+        last_i, last_w = len(windows) - 1, windows[-1]
+        if not _covered(last_w):
+            # final window: merge-on-write — its resolution folds every
+            # pending raw generation, so the replay ends on a fully-
+            # resolved snapshot. Sequential (after the pool joins), so
+            # the ordered hwm fast path is sound again.
+            results.append(apply_batch(
+                lake, _chunk(last_w), f"{batch_id_prefix}-{last_i:06d}",
                 assume_all_buckets=assume_all_buckets,
-                lsn_range_hint=(start, end),
-            )
-        results.append(r)
-        start = end + 1
-        i += 1
+                lsn_range_hint=last_w,
+            ))
+        return results
+    # batch_plan="write" (every window merges on write), or a single
+    # window: sequential ordered loop, default hwm fast-path guard
+    for i, w in enumerate(windows):
+        if _covered(w):
+            continue
+        results.append(apply_batch(
+            lake, _chunk(w), f"{batch_id_prefix}-{i:06d}",
+            assume_all_buckets=assume_all_buckets,
+            lsn_range_hint=w,
+        ))
     return results

@@ -193,6 +193,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        # Engine reads pass EXPLICIT per-file paths from the table
+        # manifests (never globs or recursive dirs), so "partition
+        # discovery" is just an existence stat per path. Above this
+        # threshold Spark launches a whole distributed listing JOB for
+        # it — ~140 ms of pure job-roundtrip overhead on every
+        # 64-file micro-batch read (profiled: 64-path reader build
+        # 172 ms -> 31 ms). 512 driver-side stats are cheap on any
+        # filesystem (object stores: parallel HEADs); genuinely large
+        # file sets (>512, e.g. a full-table compaction at 100 TB)
+        # still flip to the distributed listing exactly as before.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "512"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes left at 128m: at 100 TB this yields
         # ~800k scan tasks, the right granularity for 1000 executors.
