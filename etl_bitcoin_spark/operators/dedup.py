@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..plans.pipeline_queries import (
     MH_A,
     _jaccard_for_pairs,
-    _minhash_sigs,
+    _minhash_docsets,
     _shingled,
 )
 
@@ -60,9 +60,15 @@ def minhash_lsh_pairs(
     pre-filter, no exact Jaccard pass)."""
     assert n_hashes <= len(MH_A)
     b, r = tune_bands(n_hashes, threshold)
-    sh = _shingled(docs.select("doc_id", "text")).cache()
-    sigs_sz = _minhash_sigs(sh, with_sizes=True, n_hashes=n_hashes)
-    sizes = sigs_sz.select("doc_id", "sz")
+    # one cached relation: signatures + sizes + shingle sets (see
+    # _minhash_docsets / _jaccard_for_pairs — the r7 array-verify form);
+    # the doc-side repartition lets the shingle distinct AND the per-doc
+    # aggregation reuse one doc_id partitioning, so the exploded shingle
+    # index never crosses an exchange (guide §8)
+    sigs_sz = _minhash_docsets(
+        _shingled(docs.select("doc_id", "text").repartition("doc_id")),
+        n_hashes=n_hashes,
+    ).cache()
     bands = sigs_sz.select(
         "doc_id",
         F.explode(
@@ -98,6 +104,6 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    return _jaccard_for_pairs(sh, cand, sizes=sizes).filter(
+    return _jaccard_for_pairs(cand, sigs_sz).filter(
         F.col("jaccard") >= threshold
     )

@@ -198,35 +198,36 @@ def _jaccard_pairs(shingled, max_df: int = MAX_SHINGLE_DF):
     )
 
 
-def _jaccard_for_pairs(shingled, pairs, sizes=None):
+def _jaccard_for_pairs(cand, docsets):
     """Exact Jaccard computed ONLY for the given candidate pairs — the
-    verify stage of an LSH pipeline. Cost is O(sum over candidates of
-    |shingles(doc_a)|), never the O(sum_shingle df^2) all-co-shingle
-    blowup that LSH exists to avoid: the pair set drives the join, the
-    shingle index is probed per side."""
-    if sizes is None:
-        sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # No explicit broadcast hints: the candidate set and the per-doc size
-    # table are both O(n_docs) at the 10^10 scale (hints would OOM the
-    # driver there), while at small SF AQE converts these joins to
-    # broadcast automatically from runtime stats. The plan is shuffle-
-    # safe at scale and broadcast-fast when small — adaptively.
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    verify stage of an LSH pipeline. r7 form (guide §2.4: remove
+    shuffles outright): each side of a pair attaches its whole distinct-
+    shingle SET (an array riding the signature aggregation, see
+    _minhash_docsets) and the intersection is counted ROW-LOCALLY with
+    array_intersect — two joins and zero aggregations, where the
+    previous shingle-index form paid two probe joins PLUS a pair-keyed
+    count exchange. Per-doc arrays are bounded by document length
+    (shingles <= words), so the row stays bounded at any corpus scale;
+    the candidate set still drives all data movement, never the
+    all-co-shingle pair space. No explicit broadcast hints: the
+    candidate and docset frames are both O(n_docs) at the 10^10 scale
+    (hints would OOM the driver there), while at small SF AQE converts
+    these joins to broadcast automatically from runtime stats."""
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"),
+        F.col("__sh").alias("__sha"),
     )
-    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"),
+        F.col("__sh").alias("__shb"),
+    )
+    i = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     return (
-        inter.join(size_a, "doc_a")
-        .join(size_b, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 6),
+            F.round(i / (F.col("sza") + F.col("szb") - i), 6),
         )
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -240,22 +241,24 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 # -------------------------------------------------- dedup: MinHash + LSH
-def _minhash_sigs(shingled, with_sizes: bool = False, n_hashes: int = 8):
+def _minhash_docsets(shingled, n_hashes: int = 8):
     """``n_hashes`` minhash values per doc (universal-hash family over
-    the portable h48); with_sizes=True rides the per-doc distinct-shingle
-    count on the SAME aggregation (no second pass over the shingle index
-    for the Jaccard denominator)."""
+    the portable h48), PLUS the per-doc distinct-shingle count and the
+    distinct-shingle SET itself — all riding ONE aggregation (r7): the
+    Jaccard denominator and the verify stage's intersection operand
+    come for free with the signature groupBy, so the LSH pipeline needs
+    no second pass over (and no cached copy of) the shingle index."""
     assert n_hashes <= len(MH_A)
     hp = (
         F.expr(H64_SPARK.format(col="shingle")) % F.lit(P)
     ).alias("hp")
-    h = shingled.select("doc_id", hp)
+    h = shingled.select("doc_id", "shingle", hp)
     aggs = [
         F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MH_A[:n_hashes], MH_B[:n_hashes]))
     ]
-    if with_sizes:
-        aggs.append(F.count("*").alias("sz"))
+    aggs.append(F.count("*").alias("sz"))
+    aggs.append(F.collect_set("shingle").alias("__sh"))
     return h.groupBy("doc_id").agg(*aggs)
 
 
@@ -278,11 +281,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(k=8) + LSH banding (4 bands x 2 rows): candidate pairs
     sharing any band, verified by exact Jaccard >= 0.5. The scale path:
     pair generation is per-band bucket joins, never O(n^2)."""
-    d = _docs_with_mutated_copies(spark, sf_dir)
-    sh = _shingled(d).cache()
-    sigs_sz = _minhash_sigs(sh, with_sizes=True).cache()
-    sigs = sigs_sz.drop("sz")
-    sizes = sigs_sz.select("doc_id", "sz")
+    # Repartition the DOCS by doc_id before shingling (r7, guide §8:
+    # shuffle the light rows, compute on the heavy ones in place): one
+    # hash partitioning by doc_id satisfies BOTH the shingle distinct
+    # (doc_id is a subset of its grouping keys) and the per-doc
+    # signature aggregation, so the exploded shingle index — several
+    # times the corpus bytes — never crosses an exchange at all. A/B at
+    # sf0.1: 2.0 s -> 1.25 s warm, identical rows.
+    d = _docs_with_mutated_copies(spark, sf_dir).repartition("doc_id")
+    # ONE cached relation feeds the whole pipeline (r7): signatures,
+    # sizes and shingle sets ride a single aggregation (_minhash_docsets)
+    # — the previous two-cache form (shingle index + signatures)
+    # materialized the shingle explode twice and re-probed the index in
+    # the verify stage.
+    sigs = _minhash_docsets(_shingled(d)).cache()
     # One explode, not a 4-way union of selects: a union re-computes the
     # whole signature aggregation once per band (measured 4x the sig
     # cost); explode(array(...)) emits all bands from a single pass.
@@ -320,8 +332,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
     # Verify ONLY the LSH candidates: computing Jaccard for every
     # co-shingle pair first would re-introduce the quadratic blowup the
-    # banding removed; sizes ride the minhash aggregation (one pass).
-    return _jaccard_for_pairs(sh, cand, sizes=sizes).filter(
+    # banding removed; sets and sizes ride the minhash aggregation.
+    return _jaccard_for_pairs(cand, sigs).filter(
         F.col("jaccard") >= 0.5
     )
 
