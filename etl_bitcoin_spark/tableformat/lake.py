@@ -1315,12 +1315,18 @@ class LakeTable:
             )
 
         df = _scan(base_files)
-        if buckets is not None:
+        if buckets is not None and len(set(buckets)) < m["n_buckets"]:
             # shared group-delta files hold rows of SIBLING buckets too:
             # a bucket-pruned read must filter rows to the requested
             # buckets by the derived bucket expression (a cheap narrow
             # filter; a no-op for bucket-exclusive files). Applied to
             # both scan legs so resolution never sees foreign keys.
+            # Skipped outright when the request covers EVERY bucket
+            # (r7, guide §1.2): bucket_expr lands in [0, n_buckets) by
+            # construction, so the full-set membership test kept every
+            # row while charging a per-row hash+set-probe to the scan —
+            # the bulk merge path (assume_all_buckets) read all buckets
+            # every micro-batch and paid it for nothing.
             want_b = [int(b) for b in buckets]
             bexpr = self.bucket_expr(m["n_buckets"], m["key_cols"])
             df = df.filter(bexpr.isin(want_b))
