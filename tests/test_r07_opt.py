@@ -213,3 +213,159 @@ def test_user_cols_hides_patch_provenance(spark, tmp_path):
     assert not any(
         c.startswith("__pts_") or c.startswith("__plsn_") for c in cols
     ), cols
+
+
+# ---------------------------------------------------------------- session 2
+
+
+def test_replay_resume_skips_covered_islands(spark, tmp_path):
+    """Crash-resume: windows applied by a (crashed) concurrent run —
+    including a covered window ABOVE an uncovered one — are skipped by
+    lineage coverage, never by batch-id collision; the resumed replay
+    applies exactly the missing windows and converges to the oracle.
+    (Pre-r7, resume renumbered windows from the resume point, so an
+    already-applied batch id could absorb a never-applied window.)"""
+    pdf, ev = _binlog(spark, n_events=2000, seed=83)
+    lo = int(pdf["lsn"].min())
+    width = 500
+    lake = LakeTable.create(
+        spark, str(tmp_path / "l"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    # simulate a crashed concurrent run: windows 0 and 2 landed (their
+    # true grid ids and spans), 1 and 3 did not
+    for i in (0, 2):
+        s, e = lo + i * width, lo + (i + 1) * width - 1
+        apply_batch(
+            lake,
+            ev.filter((F.col("lsn") >= s) & (F.col("lsn") <= e)),
+            f"rz-{i:06d}",
+            already_applied_filter=lambda df: df,
+            lsn_range_hint=(s, e),
+            merge_mode="read", delta_plan="raw-scan",
+        )
+    assert len(lake.lineage()["applied_ranges"]) == 2  # island above gap
+    results = replay(lake, ev, batch_lsn_width=width, batch_id_prefix="rz")
+    applied = [r for r in results if r.get("applied")]
+    assert len(applied) == 2, results
+    got = (
+        lake.read(user_cols=True)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()["text"]
+    )
+    exp = oracle_replay(pdf)["text"]
+    assert list(got) == list(exp)
+    # full-grid rerun: everything covered, nothing re-applies
+    assert replay(lake, ev, batch_lsn_width=width, batch_id_prefix="rz") == []
+
+
+def test_replay_concurrent_staging_ordered_results(spark, tmp_path):
+    """Bulk raw replay stages its windows concurrently but reports them
+    in window order with per-window dense lsn ranges."""
+    pdf, ev = _binlog(spark, n_events=2000, seed=84)
+    lo = int(pdf["lsn"].min())
+    lake = LakeTable.create(
+        spark, str(tmp_path / "l"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    results = replay(lake, ev, batch_lsn_width=500, batch_id_prefix="rc")
+    assert len(results) == 4
+    for i, r in enumerate(results[:-1]):
+        assert r["delta_plan"] == "raw-scan", r
+        assert r["lsn_range"] == [lo + i * 500, lo + (i + 1) * 500 - 1], r
+    assert "delta_plan" not in results[-1]  # final merge-on-write
+    got = (
+        lake.read(user_cols=True)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()["text"]
+    )
+    assert list(got) == list(oracle_replay(pdf)["text"])
+
+
+def test_dense_tail_bloom_stays_vacuous_then_reengages(spark, tmp_path):
+    """Ordered drains skip the per-batch Bloom inserts entirely (bits
+    stay zero, covered_lo sits above the HWM); the first gapped batch
+    re-engages inserts; duplicates die in both regimes."""
+    import numpy as np
+
+    from etl_bitcoin_spark.streaming import BinlogTailer
+    from etl_bitcoin_spark.gen import write_segments
+
+    pdf = generate_binlog(BinlogSpec(seed=85, n_events=1600, n_segments=8))
+    segs = write_segments(pdf, str(tmp_path / "wal"))
+    lake = LakeTable.create(
+        spark, str(tmp_path / "l"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    t = BinlogTailer(
+        spark, str(tmp_path / "wal"), lake, str(tmp_path / "ck"),
+        max_files_per_trigger=2, assume_all_buckets=True,
+    )
+    for i in (0, 1, 2, 3):  # ordered, contiguous
+        t._apply_df(spark.read.parquet(segs[i]), f"s-{i}")
+    bloom = t._load_bloom()
+    assert bloom is not None
+    assert int(np.count_nonzero(bloom.bits)) == 0, "dense tail inserted bits"
+    assert bloom.covered_lo == lake.hwm + 1
+    # duplicate in the dense regime dies at the hwm fast path
+    t._apply_df(spark.read.parquet(segs[1]), "re-1")
+    assert t.batch_results[-1].get("events", -1) == 0
+    # gap: deliver segment 5 before 4 -> sparse history, inserts resume
+    t._apply_df(spark.read.parquet(segs[5]), "s-5")
+    assert len(lake.lineage()["applied_ranges"]) > 1
+    assert int(np.count_nonzero(bloom.bits)) > 0, "sparse batch must insert"
+    # late gap fill + redeliveries: exactly-once end to end
+    t._apply_df(spark.read.parquet(segs[4]), "s-4")
+    for i in (4, 5):
+        t._apply_df(spark.read.parquet(segs[i]), f"re2-{i}")
+        assert t.batch_results[-1].get("events", -1) == 0
+    for i in (6, 7):
+        t._apply_df(spark.read.parquet(segs[i]), f"s-{i}")
+    got = (
+        lake.read(user_cols=True)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()["text"]
+    )
+    assert list(got) == list(oracle_replay(pdf)["text"])
+
+
+def test_full_bucket_read_skips_membership_filter(spark, tmp_path):
+    """read(buckets=<every bucket>) must not plan the per-row derived-
+    bucket membership filter (it keeps every row by construction); a
+    proper subset still filters, and both return exact rows."""
+    pdf, ev = _binlog(spark, n_events=1200, seed=86)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "l"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    apply_batch(lake, ev, "b-0")
+    # exactly ONE pmod in the full read (the BUCKET_COL projection read
+    # always emits) — the membership Filter's pmod must be gone; the
+    # subset read keeps both
+    full = lake.read(buckets=list(range(8)))
+    assert full._jdf.queryExecution().analyzed().toString().count("pmod") == 1
+    sub = lake.read(buckets=[0, 1, 2])
+    assert sub._jdf.queryExecution().analyzed().toString().count("pmod") == 2
+    a = lake.read().orderBy("conv_id", "turn_idx", LSN_COL).toPandas()
+    b = full.orderBy("conv_id", "turn_idx", LSN_COL).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    got_sub = set(
+        r[BUCKET_COL] for r in sub.select(BUCKET_COL).distinct().collect()
+    )
+    assert got_sub <= {0, 1, 2}
+
+
+def test_minhash_docsets_single_upstream_exchange(spark):
+    """The doc_id repartition satisfies both the shingle distinct and
+    the per-doc signature aggregation: exactly ONE exchange upstream of
+    the docsets aggregate."""
+    from etl_bitcoin_spark.plans.pipeline_queries import (
+        _minhash_docsets,
+        _shingled,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(40)],
+        "doc_id long, text string",
+    ).repartition("doc_id")
+    plan = (
+        _minhash_docsets(_shingled(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
