@@ -2080,9 +2080,34 @@ class LakeTable:
             # O(#groups) from the aggregated group pointers). Pruned
             # generations' files stay referenced by older snapshots and
             # are GC'd by expire_snapshots like any other dead file.
+            # Version-claim CAS soundness (r7 third pass — this fixed a
+            # REAL lost-commit race caught by the bench's final_rows):
+            # on an UN-BRANCHED table the version chain IS the head, and
+            # the claim detects a concurrent commit ONLY if we claim
+            # exactly cur.version + 1 — claiming global-max + 1 lets a
+            # commit based on a STALE cur land ABOVE a concurrently-
+            # claimed version, silently orphaning that commit's content
+            # (observed: 3 concurrent raw appends, writer A read v1,
+            # writer B claimed v2, A computed max(latest=2, cur=1)+1=3
+            # and claimed v3 with parent v1 — B's generation vanished
+            # from the chain). Branched tables NEED global-max + 1
+            # (versions are globally contiguous across refs while a
+            # ref head trails), and there the post-claim _advance_head
+            # CAS (parent check) is what detects the race instead.
+            heads_mode = ref != "main" or os.path.isdir(
+                self._heads_dir("main")
+            )
+            next_v = (
+                max(self._latest_version(), cur["version"]) + 1
+                if heads_mode else cur["version"] + 1
+            )
             sd_list = [dict(g) for g in cur_sd]
             if new_gen is not None and new_gen["files"]:
-                sd_list.append(dict(new_gen, v=cur["version"] + 1))
+                # stamped with the manifest's OWN version: a floor
+                # advanced to X folds exactly the generations a read
+                # at X could see (a lower stamp could mark a gen
+                # folded that landed after the fold's read)
+                sd_list.append(dict(new_gen, v=next_v))
             if sd_list:
                 covered = sum(g["n_buckets"] for g in groups.values())
                 gmin = (
@@ -2098,14 +2123,14 @@ class LakeTable:
             lineage["rows_total"] = sum(
                 g["rows"] + g["delta_rows"] for g in groups.values()
             ) + sum(g["rows"] for g in sd_list)
-            # Version numbers stay GLOBALLY contiguous (every claim is
-            # global-max + 1) so the _latest walk and expiry see a
-            # gapless chain; on a branched table the ref head (parent)
-            # can trail the global max, so next_v may exceed head + 1.
+            # Version numbers stay GLOBALLY contiguous so the _latest
+            # walk and expiry see a gapless chain: next_v (computed
+            # above) is cur+1 on un-branched tables (the claim IS the
+            # conflict check) and global-max+1 on branched ones (the
+            # ref head may trail the global max; the head CAS below is
+            # the conflict check).
             manifest = {
-                "version": max(
-                    self._latest_version(), cur["version"]
-                ) + 1,
+                "version": next_v,
                 "parent": cur["version"],
                 "schema_ddl": cur["schema_ddl"],
                 "key_cols": cur["key_cols"],
@@ -2136,6 +2161,10 @@ class LakeTable:
                 # claimed version stays behind as an unreferenced
                 # orphan (removing it would punch a hole in the
                 # version walk) and the loop rebases.
+                # re-check at advance time (not heads_mode from above):
+                # a branch created mid-attempt materializes main's
+                # explicit head, and a claimed version that never
+                # advances it would be invisible to main readers
                 if ref != "main" or os.path.isdir(self._heads_dir("main")):
                     if not self._advance_head(
                         ref, manifest["version"], parent=cur["version"]
@@ -2180,9 +2209,15 @@ class LakeTable:
                     "(no per-file field IDs)"
                 )
             m = dict(prev)
-            m["version"] = max(
-                self._latest_version(), prev["version"]
-            ) + 1
+            # same claim-CAS rule as commit(): un-branched tables must
+            # claim exactly prev+1 (the claim IS the conflict check);
+            # branched tables claim global-max+1 and the head CAS in
+            # _advance_main_head detects the race instead
+            m["version"] = (
+                max(self._latest_version(), prev["version"]) + 1
+                if os.path.isdir(self._heads_dir("main"))
+                else prev["version"] + 1
+            )
             m["parent"] = prev["version"]
             m["schema_ddl"] = new_ddl
             m["batch_id"] = batch_id
@@ -2227,9 +2262,12 @@ class LakeTable:
             if len(keep) == len(parts):
                 raise ValueError(f"no such column {col!r}")
             m2 = dict(prev)
-            m2["version"] = max(
-                self._latest_version(), prev["version"]
-            ) + 1
+            # same claim-CAS rule as commit()/evolve_schema
+            m2["version"] = (
+                max(self._latest_version(), prev["version"]) + 1
+                if os.path.isdir(self._heads_dir("main"))
+                else prev["version"] + 1
+            )
             m2["parent"] = prev["version"]
             m2["schema_ddl"] = ", ".join(keep)
             if col in (prev.get("patch_cols") or []):

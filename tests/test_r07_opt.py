@@ -381,3 +381,73 @@ def test_warm_engine_body_strict(spark):
     from etl_bitcoin_spark.session import _warm_engine_body
 
     _warm_engine_body(spark)  # raises on any broken warm block
+
+
+def test_commit_claim_detects_concurrent_version(spark, tmp_path):
+    """Lost-commit race regression (r7 third pass, caught by the
+    bench's final_rows): writer B reads snapshot v1, writer A commits
+    v2, then B publishes. The old claim computed max(global_latest,
+    cur)+1 = 3 and claimed v3 with parent v1 SUCCESSFULLY — silently
+    orphaning A's generation from the chain (no head CAS exists on an
+    un-branched table). The claim must collide at cur+1 and REBASE so
+    both commits' content survives."""
+    pdf, ev = _binlog(spark, n_events=2000, seed=91)
+    lake = LakeTable.create(
+        spark, str(tmp_path / "l"), TRANSCRIPTS_DDL, KEY_COLS, 8
+    )
+    w0 = ev.filter(F.col("lsn") < 1000)
+    w1 = ev.filter(F.col("lsn") >= 1000)
+
+    # writer A commits window 0 normally -> v2
+    apply_batch(
+        lake, w0, "w0", already_applied_filter=lambda df: df,
+        lsn_range_hint=(0, 999), merge_mode="read",
+        delta_plan="raw-scan",
+    )
+    v_a = lake.snapshot()["version"]
+
+    # writer B: a second handle whose snapshot reads are STALE (pre-A)
+    # until its first version-claim attempt completes — the exact
+    # interleaving of the caught race, deterministic.
+    lake_b = LakeTable(spark, str(tmp_path / "l"))
+    stale = lake_b.snapshot(version=1)
+    real_snapshot = lake_b.snapshot
+    real_claim = lake_b._claim_version
+    staling = [True]
+
+    def snap_patched(version=None, ref=None):
+        if version is None and staling[0]:
+            return stale
+        return real_snapshot(version=version, ref=ref)
+
+    def claim_patched(manifest):
+        try:
+            return real_claim(manifest)
+        finally:
+            staling[0] = False  # first attempt done -> reads go live
+
+    lake_b.snapshot = snap_patched
+    lake_b._claim_version = claim_patched
+    res = apply_batch(
+        lake_b, w1, "w1", already_applied_filter=lambda df: df,
+        lsn_range_hint=(1000, 1999), merge_mode="read",
+        delta_plan="raw-scan",
+    )
+    assert res["applied"] is True
+
+    # BOTH generations must be on the chain, and the chain contiguous
+    final = lake.snapshot()
+    gens = final.get("shard_deltas", [])
+    assert len(gens) == 2, gens
+    assert final["parent"] == v_a
+    # and the resolved state equals the full two-window oracle
+    got = (
+        lake.read()
+        .orderBy("conv_id", "turn_idx", LSN_COL)
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    want = oracle_replay(pdf)
+    assert len(got) >= len(want)  # read() keeps tombstone rows too
+    live = lake.read(user_cols=True).orderBy("conv_id", "turn_idx").toPandas()
+    assert list(live["text"]) == list(want["text"])
